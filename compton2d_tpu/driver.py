@@ -1,0 +1,377 @@
+"""Simulation driver: the per-step orchestration and time loop.
+
+Re-implements the reference driver pair ``compton2d.f`` (main) +
+``xec2d.f`` (xec time loop) as one jitted ``step`` function over the
+``SimState`` pytree, in the reference's phase order (SURVEY.md §3.2):
+
+    budget (imcgen2d) -> census replay + sourcing (imcfield2d/imcvol2d/
+    imcsurf2d) -> tracking (imctrk2d) -> census tallies -> FP update
+    (update2d) -> output tallies
+
+The MPI choreography (xec_bcast / xec_add / task farms / imcredist /
+graphics_collect) disappears: zone state is replicated, photons are a
+device-shardable batch axis, tallies reduce with psum (see
+compton2d_tpu.parallel).
+
+Time stepping matches the active reference behavior: dt is constant
+(the adaptive dt_new of update2d.f:232-261 is computed but not applied
+there — xec2d.f:100-106 only ever advances time by the fixed dt);
+``RunConfig``/`PhysicsConfig`` can opt in to the adaptive step.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compton2d_tpu import constants as cn
+from compton2d_tpu.config import SimConfig, ZoneInit
+from compton2d_tpu.fp.update import FPResult, fp_step
+from compton2d_tpu.grid import Grid, initial_dt, make_grid
+from compton2d_tpu.physics.compton import zone_sigma_table
+from compton2d_tpu.physics.emissivity import equipartition_b, volume_em
+from compton2d_tpu.state import (
+    EventBuffer,
+    PhotonArray,
+    SimState,
+    Tallies,
+    ZoneState,
+    init_zone_state,
+)
+from compton2d_tpu.tables import Tables, build_tables
+from compton2d_tpu.transport import sourcing
+from compton2d_tpu.transport.tracking import (
+    TrackContext,
+    TrackStatics,
+    census_tally,
+    transport_step,
+)
+
+
+class StepOutputs(NamedTuple):
+    """Per-step host-visible results."""
+
+    tallies: Tallies
+    events: EventBuffer
+    bingo: jnp.ndarray        # total energy input [erg]
+    e_el_old: jnp.ndarray
+    e_el_new: jnp.ndarray
+    dT_max: jnp.ndarray
+    fp_substeps: jnp.ndarray
+
+
+def _source_static(cfg: SimConfig, window) -> sourcing.SourceStatic:
+    """Boundary-condition arrays for one time window."""
+    g = cfg.grid
+    if window is None:
+        tbb_l = np.zeros(g.nr)
+        tbb_u = np.zeros(g.nr)
+        tbb_i = np.zeros(g.nz)
+        tbb_o = np.zeros(g.nz)
+    else:
+        tbb_l = np.asarray(window.tbb_lower, float)
+        tbb_u = np.asarray(window.tbb_upper, float)
+        tbb_i = np.asarray(window.tbb_inner, float)
+        tbb_o = np.asarray(window.tbb_outer, float)
+    star = cfg.physics
+    dilution = (
+        (star.r_star / star.dist_star) ** 2 if star.star_switch else 1.0
+    )
+    return sourcing.SourceStatic(
+        tbb_lower=jnp.asarray(tbb_l),
+        tbb_upper=jnp.asarray(tbb_u),
+        tbb_inner=jnp.asarray(tbb_i),
+        tbb_outer=jnp.asarray(tbb_o),
+        file_e=jnp.ones((2,)),
+        file_cdf=jnp.zeros((2,)),
+        file_flux=jnp.zeros(()),
+        star_dilution=jnp.asarray(dilution),
+    )
+
+
+class Simulation:
+    """Owns the static configuration, tables, and the jitted step."""
+
+    def __init__(
+        self,
+        cfg: SimConfig,
+        zone_init: Optional[ZoneInit] = None,
+        source_static: Optional[sourcing.SourceStatic] = None,
+    ):
+        self.cfg = cfg
+        self.grid: Grid = make_grid(cfg.grid)
+        self.tables: Tables = build_tables(cfg.grid)
+        if zone_init is None:
+            zone_init = ZoneInit.uniform(cfg.grid)
+        zones = init_zone_state(cfg, zone_init, self.tables)
+
+        dt0 = initial_dt(
+            self.grid, cfg.run.mcdt, cfg.physics.injection.v
+        )
+        g = cfg.grid
+        self.state = SimState(
+            zones=zones,
+            photons=PhotonArray.empty(cfg.run.n_slots),
+            time=jnp.zeros((), jnp.float64),
+            dt=jnp.asarray(dt0, jnp.float64),
+            dt_prev=jnp.asarray(dt0, jnp.float64),
+            ncycle=jnp.zeros((), jnp.int32),
+            key=jax.random.key(cfg.run.seed),
+            ed_abs=jnp.zeros((g.nr,)),
+            ed_ref=jnp.zeros((g.nr,)),
+            k_gg=jnp.zeros((g.nz, g.nr, g.n_gg)),
+            dn_pp=jnp.zeros((g.nz, g.nr, g.num_nt)),
+            dne_pa=jnp.zeros((g.nz, g.nr, g.num_nt)),
+            dnp_pa=jnp.zeros((g.nz, g.nr, g.num_nt)),
+        )
+        self.src_static = (
+            source_static
+            if source_static is not None
+            else _source_static(
+                cfg, cfg.windows[0] if cfg.windows else None
+            )
+        )
+        self._step_jit = jax.jit(
+            lambda s, src, grid, tab: _step_impl(s, src, grid, tab, cfg)
+        )
+        self.last_outputs: Optional[StepOutputs] = None
+
+    def step(self) -> StepOutputs:
+        self.state, out = self._step_jit(
+            self.state, self.src_static, self.grid, self.tables
+        )
+        self.last_outputs = out
+        return out
+
+    def run(self, n_steps: int):
+        for _ in range(n_steps):
+            self.step()
+        return self.last_outputs
+
+    # ---------------- diagnostics -----------------------------------
+    def summary(self) -> str:
+        o = self.last_outputs
+        s = self.state
+        esc = float(jnp.sum(o.tallies.fout) * self.cfg.run.energy_scale)
+        alive = int(jnp.sum(s.photons.alive))
+        return (
+            f"cycle={int(s.ncycle)} t={float(s.time):.4e}s "
+            f"dt={float(s.dt):.3e}s census={alive} "
+            f"E_in={float(o.bingo):.4e} E_esc={esc:.4e} "
+            f"Te[0,0]={float(s.zones.tea[0, 0]):.2f}keV "
+            f"dT_max={float(o.dT_max):.3f}"
+        )
+
+    def energy_audit(self) -> dict:
+        """E_add_up-style audit (update2d.f:1993-2078) in erg."""
+        o = self.last_outputs
+        t = o.tallies
+        scale = self.cfg.run.energy_scale
+        census = float(jnp.sum(t.ecens)) * scale
+        escaped = (
+            float(
+                jnp.sum(t.erlk_inner) + jnp.sum(t.erlk_outer)
+                + jnp.sum(t.erlk_upper) + jnp.sum(t.erlk_lower)
+            )
+            * scale
+        )
+        deposited = float(jnp.sum(t.edep)) * scale
+        killed = float(t.e_killed) * scale
+        scatter_gain = float(t.e_scatter) * scale
+        src_lost = float(t.e_src_lost) * scale
+        absorbed = deposited - scatter_gain
+        e_in = float(o.bingo)
+        # photon-side balance: (input - lost) + gain_from_electrons
+        #   = census + escaped + absorbed + killed
+        avail = e_in - src_lost + scatter_gain
+        return {
+            "input": e_in,
+            "census": census,
+            "escaped": escaped,
+            "absorbed": absorbed,
+            "scatter_gain": scatter_gain,
+            "killed": killed,
+            "src_lost": src_lost,
+            "balance": (census + escaped + absorbed + killed) / avail
+            if avail > 0
+            else float("nan"),
+        }
+
+
+def _step_impl(
+    state: SimState,
+    src: sourcing.SourceStatic,
+    grid: Grid,
+    tables: Tables,
+    cfg: SimConfig,
+) -> Tuple[SimState, StepOutputs]:
+    g = cfg.grid
+    phys = cfg.physics
+    run = cfg.run
+    nz, nr = g.nz, g.nr
+    zones = state.zones
+    key = jax.random.fold_in(state.key, state.ncycle)
+    k_src, k_trk = jax.random.split(key)
+
+    # ---- 0. census replay: reset flight clocks (imcfield2d.f:117) ---
+    photons = state.photons._replace(
+        dcen=jnp.where(
+            state.photons.alive,
+            (jnp.float64(cn.C_LIGHT) * state.dt).astype(jnp.float32),
+            0.0,
+        )
+    )
+    # previous-step census energy per zone, for the budget
+    zid = (
+        jnp.clip(photons.jz, 0, nz - 1) * nr
+        + jnp.clip(photons.kr, 0, nr - 1)
+    )
+    ecens_prev = (
+        jnp.zeros((nz * nr,))
+        .at[zid]
+        .add(jnp.where(photons.alive, photons.w, 0.0))
+        .reshape(nz, nr)
+        * run.energy_scale
+    )
+
+    # ---- 1. zone pass (imcgen2d): B, emissivities, budget -----------
+    B = equipartition_b(
+        zones.ep_switch, zones.tea, zones.tna, zones.n_e, zones.f_pair,
+        zones.B_field, tables.gamma_bar.forward,
+    )
+    zones = zones._replace(B_field=B)
+
+    l_min = jnp.minimum(grid.dz, grid.dr) * jnp.ones_like(grid.vol)
+    ve = volume_em(
+        tables.e_ph, tables.gnt, zones.f_nt, zones.tea, zones.n_e, B,
+        zones.amxwl, grid.vol, grid.zone_surf, l_min, state.dt,
+        tables.sync,
+    )
+
+    budget = sourcing.compute_budget(
+        src, ve.eloss_tot, ecens_prev, state.ed_abs,
+        grid.area_lower, grid.area_upper, grid.area_inner,
+        grid.area_outer,
+        state.dt, state.dt_prev, cfg.source.nst * max(cfg.source.split, 1),
+        cfg.source.bias_cap, run.energy_scale,
+        dh_sentinel=bool(phys.dh_sentinel),
+    )
+
+    # ---- 2. emit new photons ----------------------------------------
+    photons, e_src_lost = sourcing.emit(
+        photons, k_src, budget, src,
+        grid.r_edges, grid.z_edges, grid.zone_surf,
+        ve.eps_tot, ve.eps_th, ve.eloss_th, ve.eloss_tot,
+        tables.e_ph, state.dt, nz, nr,
+    )
+
+    # ---- 3. tracking ------------------------------------------------
+    sigma_zone = zone_sigma_table(
+        tables.sigma_e, zones.f_nt, tables.gnt, zones.n_e,
+        zones.f_pair if phys.pair_switch else None,
+    ).reshape(nz * nr, -1).astype(jnp.float32)
+    kappa_zone = ve.kappa_tot.reshape(nz * nr, -1).astype(jnp.float32)
+    kgg_zone = state.k_gg.reshape(nz * nr, -1).astype(jnp.float32)
+    cdf_rows = zones.cdf_nt.reshape(nz * nr, -1).astype(jnp.float32)
+
+    ctx = TrackContext(
+        r_edges=grid.r_edges.astype(jnp.float32),
+        z_edges=grid.z_edges.astype(jnp.float32),
+        sigma_zone=sigma_zone,
+        kappa_zone=kappa_zone,
+        kgg_zone=kgg_zone,
+        cdf_nt=cdf_rows,
+        gnt=tables.gnt,
+        e_ph_log0=jnp.log(tables.e_ph[0]),
+        e_ph_dlog=jnp.log(tables.e_ph[1] / tables.e_ph[0]),
+        e_gg_log0=jnp.log(tables.e_gg[0]),
+        e_gg_dlog=jnp.log(tables.e_gg[1] / tables.e_gg[0]),
+        e_field_log0=jnp.log(tables.e_field[0]),
+        e_field_dlog=jnp.log(tables.e_field[1] / tables.e_field[0]),
+        hu=tables.hu,
+        mu_edges=tables.mu_edges,
+        lc_lo=tables.lc_lo,
+        lc_hi=tables.lc_hi,
+        e_ref=tables.e_ref,
+        p_ref_t=tables.p_ref.T,
+        w_abs_t=tables.w_abs.T,
+        tbbl_pos=src.tbb_lower > 0.0,
+        time=state.time,
+        dt=state.dt,
+    )
+    st = TrackStatics(
+        nz=nz, nr=nr,
+        cr_sent=phys.cr_sent,
+        pair_switch=phys.pair_switch,
+        rmin_positive=g.r_min > 1e-10,
+        max_iters=run.max_flight_iters,
+        max_scatter_tries=run.max_scatter_tries,
+        weight_floor=cfg.source.weight_floor,
+    )
+
+    tallies = Tallies.zeros(
+        nz, nr, g.num_nt, g.nphfield, g.n_gg, g.nmu, g.nphtotal, g.nph_lc
+    )
+    events = EventBuffer.empty(run.event_capacity)
+
+    tallies = tallies._replace(
+        e_src_lost=tallies.e_src_lost + e_src_lost
+    )
+    photons, tallies, events = transport_step(
+        photons, tallies, events, k_trk, ctx, st
+    )
+    tallies = census_tally(photons, tallies, ctx, st, run.energy_scale)
+
+    # ---- 4. FP electron update (update2d) ---------------------------
+    do_fp = (not phys.t_const)
+    if do_fp:
+        n_field_real = tallies.n_field  # photon counts (already scaled)
+        fpr = fp_step(
+            zones, n_field_real, tables, grid.vol,
+            float(cfg.grid.z_max), grid.dz,
+            state.dt, state.time,
+            ve.eloss_sy * 1.0, phys,
+        )
+        # only apply after the field is established (xec2d: update only
+        # for ncycle > 0)
+        apply = state.ncycle > 0
+        zones_new = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                jnp.reshape(apply, (1,) * new.ndim), new, old
+            ),
+            fpr.zones, zones,
+        )
+        dT_max = jnp.where(apply, fpr.dT_max, 0.0)
+        e_el_old, e_el_new = fpr.e_el_old, fpr.e_el_new
+        fp_sub = fpr.substeps
+    else:
+        zones_new = zones
+        dT_max = jnp.zeros(())
+        e_el_old = jnp.zeros(())
+        e_el_new = jnp.zeros(())
+        fp_sub = jnp.zeros((), jnp.int32)
+
+    # ---- 5. advance time (xec2d.f:100-106: constant dt) -------------
+    new_state = state._replace(
+        zones=zones_new,
+        photons=photons,
+        time=state.time + state.dt,
+        dt_prev=state.dt,
+        ncycle=state.ncycle + 1,
+        ed_abs=tallies.ed_in - tallies.ed_ref,
+        ed_ref=tallies.ed_ref,
+    )
+    out = StepOutputs(
+        tallies=tallies,
+        events=events,
+        bingo=budget.bingo,
+        e_el_old=e_el_old,
+        e_el_new=e_el_new,
+        dT_max=dT_max,
+        fp_substeps=fp_sub,
+    )
+    return new_state, out

@@ -1,0 +1,108 @@
+"""Ready-made small configurations for tests, demos and benchmarks."""
+from __future__ import annotations
+
+from compton2d_tpu.config import (
+    GridConfig,
+    PhysicsConfig,
+    RunConfig,
+    SimConfig,
+    SourceConfig,
+    TimeWindow,
+    ZoneInit,
+)
+from compton2d_tpu.driver import Simulation
+
+
+def small_corona(
+    nz: int = 4,
+    nr: int = 3,
+    nst: int = 2000,
+    n_slots: int = 4096,
+    tea: float = 100.0,
+    tbb: float = 0.5,
+    n_e: float = 1.0e10,
+    t_const: bool = False,
+    seed: int = 0,
+    num_nt: int = 100,
+    n_vol: int = 128,
+    nphfield: int = 128,
+    **phys_kw,
+) -> Simulation:
+    """A small 2-D accreting-corona setup: hot thermal electron cloud
+    above a cool blackbody-radiating disk (the lower boundary), the
+    canonical thermal-Comptonization problem of the reference."""
+    grid = GridConfig(
+        nz=nz, nr=nr, z_max=1.0e15, r_max=1.0e15,
+        num_nt=num_nt, n_vol=n_vol, nphfield=nphfield,
+        n_gg=32, n_ref=100, nmu=4,
+        spectral_regions=((1e-4, 1e-1, 20), (1e-1, 1e4, 40)),
+        lc_bands=((2.0, 10.0),),
+    )
+    win = TimeWindow(
+        t0=0.0, t1=1e30,
+        tbb_lower=(tbb,) * nr,
+        tbb_upper=(0.0,) * nr,
+        tbb_inner=(0.0,) * nz,
+        tbb_outer=(0.0,) * nz,
+    )
+    cfg = SimConfig(
+        grid=grid,
+        physics=PhysicsConfig(t_const=t_const, **phys_kw),
+        source=SourceConfig(nst=nst),
+        run=RunConfig(seed=seed, n_slots=n_slots, max_flight_iters=256,
+                      event_capacity=n_slots),
+        windows=(win,),
+    )
+    zi = ZoneInit.uniform(
+        grid, tea=tea, tna=tea, n_e=n_e, B_field=10.0, amxwl=1.0,
+        gmin=1e3, gmax=1e5, p_nth=2.5,
+    )
+    return Simulation(cfg, zi)
+
+
+def blazar_jet(
+    nz: int = 10,
+    nr: int = 5,
+    nst: int = 5000,
+    n_slots: int = 16384,
+    seed: int = 0,
+    **phys_kw,
+) -> Simulation:
+    """A nonthermal blazar-like zone setup: power-law electrons with
+    synchrotron volume emission and shock injection (no external
+    boundary illumination yet)."""
+    from compton2d_tpu.config import InjectionConfig
+
+    grid = GridConfig(
+        nz=nz, nr=nr, z_max=1.0e16, r_max=3.0e15,
+        num_nt=160, n_vol=256, nphfield=256, n_gg=64, n_ref=100, nmu=8,
+        spectral_regions=((1e-7, 1e-2, 30), (1e-2, 1e3, 40),
+                          (1e3, 1e7, 30)),
+        lc_bands=((2.0, 10.0), (1e5, 1e7)),
+    )
+    win = TimeWindow(
+        t0=0.0, t1=1e30,
+        tbb_lower=(0.0,) * nr,
+        tbb_upper=(0.0,) * nr,
+        tbb_inner=(0.0,) * nz,
+        tbb_outer=(0.0,) * nz,
+    )
+    inj = InjectionConfig(
+        switch=1, distribution=2, g1=1e2, g2=1e4, p=2.4,
+        luminosity=1e42, t_start=0.0,
+    )
+    cfg = SimConfig(
+        grid=grid,
+        physics=PhysicsConfig(
+            t_const=False, r_acc=1e3, r_esc=3.0, injection=inj, **phys_kw
+        ),
+        source=SourceConfig(nst=nst),
+        run=RunConfig(seed=seed, n_slots=n_slots,
+                      event_capacity=n_slots),
+        windows=(win,),
+    )
+    zi = ZoneInit.uniform(
+        grid, tea=10.0, tna=10.0, n_e=1e4, B_field=1.0, amxwl=0.1,
+        gmin=1e2, gmax=1e4, p_nth=2.4,
+    )
+    return Simulation(cfg, zi)

@@ -1,0 +1,305 @@
+"""Per-step electron update: the ``update``/``FP_calc`` phase.
+
+Re-implements ``/root/reference/src/update2d.f`` vectorized over all
+zones (the reference farms one zone per MPI worker):
+
+- IC drift dg_ic from the tallied radiation field contracted against the
+  F_IC kernel — a (zones, nphfield) @ (nphfield, num_nt) matmul
+  (update2d.f:568-574);
+- synchrotron drift dg_sy with the Razin-like gamma_R suppression
+  (update2d.f:880-887), hard-sphere stochastic acceleration
+  dg_A = gamma/t_acc, disp_A = gamma^2/(2 t_acc) (update2d.f:1035-1037);
+- optional Coulomb/Moller and bremsstrahlung drifts (computed but
+  excluded from the reference's active operator, update2d.f:1048-1049);
+- implicit sub-stepping with d_t = f_t_implicit * dt,
+  f_t_implicit = clip(df_implicit*Te/|dT|, df_T) (update2d.f:662-666),
+  as a bounded while_loop with per-zone completion masks;
+- shock-front / pick-up injection (update2d.f:1229-1301) and escape
+  (update2d.f:1309-1313);
+- Chang-Cooper + Thomas solve each substep, renormalization, and the
+  temperature update by inverting gamma_bar (update2d.f:1440-1468) via
+  the monotone table;
+- adaptive global time step dt_new from dT_max (update2d.f:232-243) and
+  the [temp_min, temp_max] clamp (update2d.f:266-276).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from compton2d_tpu import constants as cn
+from compton2d_tpu.config import PhysicsConfig
+from compton2d_tpu.fp.chang_cooper import chang_cooper_coeffs, thomas_solve
+from compton2d_tpu.physics import electron_dist as ed
+from compton2d_tpu.state import ZoneState
+from compton2d_tpu.tables import Tables
+
+
+class FPResult(NamedTuple):
+    zones: ZoneState
+    dt_new: jnp.ndarray        # () adapted next step
+    dT_max: jnp.ndarray        # () max relative temperature change
+    e_el_old: jnp.ndarray      # () total electron energy before [erg]
+    e_el_new: jnp.ndarray      # () after [erg]
+    substeps: jnp.ndarray      # () max substeps used
+
+
+def fp_step(
+    zones: ZoneState,
+    n_field: jnp.ndarray,      # (nz, nr, nphfield) tallied photon counts
+    tables: Tables,
+    vol: jnp.ndarray,          # (nz, nr)
+    z_max: float,
+    dz: jnp.ndarray,
+    dt: jnp.ndarray,           # () current MC step [s]
+    time: jnp.ndarray,         # () [s]
+    eloss_sy: jnp.ndarray,     # (nz, nr) [erg] per step (for hr_th_sy)
+    phys: PhysicsConfig,
+) -> FPResult:
+    nz, nr, num_nt = zones.f_nt.shape
+    Z = nz * nr
+    gnt = tables.gnt
+    gamma = gnt + 1.0
+    dg = jnp.diff(gnt)
+    wdg = jnp.concatenate([dg, dg[-1:] * 0.0])
+
+    t_esc = phys.r_esc * z_max / cn.C_LIGHT
+    t_acc = phys.r_acc * z_max / cn.C_LIGHT
+
+    # ---- flatten zones ------------------------------------------------
+    f_old = zones.f_nt.reshape(Z, num_nt)
+    sum_p = jnp.maximum(jnp.sum(f_old * wdg, axis=-1, keepdims=True), 1e-300)
+    f_old = f_old / sum_p
+    n_p = zones.n_e.reshape(Z)
+    f_pair = zones.f_pair.reshape(Z)
+    ne = n_p * (1.0 + f_pair)
+    n_lept = ne + n_p * f_pair
+    volume = vol.reshape(Z)
+    B = jnp.maximum(zones.B_field.reshape(Z), 1e-20)
+    tea0 = zones.tea.reshape(Z)
+    tna = zones.tna.reshape(Z)
+    turb = zones.turb_lev.reshape(Z)
+
+    # electron energy audit (update2d.f:482-497)
+    def e_tot(f, nloc):
+        return jnp.sum(f * gamma * wdg, axis=-1) * nloc * cn.MEC2_ERG * volume
+
+    e_el_old = jnp.sum(e_tot(f_old, ne))
+
+    # ---- static drift pieces -----------------------------------------
+    # IC drift: (Z, nph) @ (nph, num_nt) on the MXU (update2d.f:568-574)
+    nf = n_field.reshape(Z, -1)
+    dg_ic = -(nf @ tables.f_ic.T) / volume[:, None]    # (Z, num_nt)
+
+    f_sy = 1.058e-15 * B * B / cn.MEC2_ERG             # (Z,)
+    dg_A = gamma[None, :] / t_acc
+    disp_A = gamma[None, :] ** 2 / (2.0 * t_acc)
+
+    # flare turbulence enhancement (update2d.f:543-558) is applied by the
+    # driver as a time/space Gaussian added to turb_lev before calling in
+    tlev = turb
+
+    # Coulomb heating (update2d.f:600-606) for the substep estimate
+    f_th = 1.5 * volume * n_lept
+    th_p = tna / 9.382e5
+    lnL = phys.lnL
+
+    inj = phys.injection
+
+    # ---- substep loop -------------------------------------------------
+    def cool_heat_rates(f, th_e, te):
+        g_av = tables.gamma_bar.forward(jnp.maximum(th_e, 1e-6))
+        gamma_R = 2.1e-3 * jnp.sqrt(n_lept) / (B * jnp.sqrt(g_av))
+        hr_th_c = -jnp.sum(
+            dg_ic * f * wdg, axis=-1
+        ) * cn.MEC2_ERG * volume * n_lept
+        y = gamma_R / g_av
+        hr_th_sy = jnp.where(
+            y < 100.0, -eloss_sy.reshape(Z) / (dt * jnp.exp(y)), 0.0
+        )
+        h_T = 0.79788 * (
+            2.0 * (th_e + th_p) ** 2 + 2.0 * (th_e + th_p) + 1.0
+        ) / (
+            (jnp.maximum(th_e + th_p, 1e-12)) ** 1.5
+            * (1.0 + 1.875 * th_e + 0.8203 * th_e**2)
+        )
+        hr_th_coul = f_th * 1.7386e-26 * n_p * lnL * h_T * (tna - te)
+        hr_th_A = jnp.maximum(tlev * hr_th_coul, 1e-20)
+        return hr_th_sy + hr_th_c + hr_th_A, gamma_R
+
+    def body(carry):
+        it, t_fp, f, th_e, npz, nlept_z, done = carry
+        te = th_e * cn.EMASS_KEV
+        hr_total, gamma_R = cool_heat_rates(f, th_e, te)
+
+        # substep size (update2d.f:662-666, 1142-1146)
+        dT_tot = 6.25e8 * dt * hr_total / f_th
+        f_imp = jnp.clip(
+            cn.DF_IMPLICIT * te / jnp.maximum(jnp.abs(dT_tot), 1e-30),
+            0.0, cn.DF_T,
+        )
+        d_t = f_imp * dt
+        d_t = jnp.where(
+            d_t > dt - t_fp, 1.00001 * (dt - t_fp), d_t
+        )
+        d_t = jnp.maximum(d_t, 1e-30)
+
+        # ---- injection (update2d.f:1229-1301) ----------------------
+        n_inject = jnp.zeros((Z,))
+        f_inj = f
+        gauss_prof = jnp.exp(
+            -((gamma - inj.gauss_g) ** 2) / (2.0 * inj.gauss_sigma**2)
+        ).at[-1].set(0.0)
+        if inj.pickup:
+            # constant pick-up, Gaussian profile (update2d.f:1229-1245)
+            psum = jnp.maximum(jnp.sum(gauss_prof * wdg), 1e-300)
+            inj_rho = jnp.full((Z,), inj.pickup_rate) * d_t
+            f_inj = f_inj + (
+                inj_rho[:, None] * gauss_prof[None, :] / psum
+                / jnp.maximum(ne, 1e-300)[:, None]
+            )
+            n_inject = n_inject + inj_rho
+        if inj.switch != 0:
+            if inj.distribution == 1:
+                prof = gauss_prof
+            else:
+                yv = gamma / inj.g2
+                prof = jnp.where(
+                    (gamma > inj.g1) & (yv < 100.0),
+                    gamma ** (-inj.p) * jnp.exp(-jnp.minimum(yv, 100.0)),
+                    0.0,
+                ).at[-1].set(0.0)
+            inj_sum = jnp.maximum(jnp.sum(prof * wdg), 1e-300)
+            inj_e_mean = jnp.sum(prof * gamma * wdg) / inj_sum
+            # shock front crosses zone row j during
+            # (time-t0) in [dz/v*(j-1), dz/v*j] (update2d.f:1251-1253)
+            jidx = jnp.arange(nz)[:, None] * jnp.ones((1, nr))
+            tt = time + t_fp.reshape(nz, nr) - inj.t_start
+            active = (
+                (tt > dz / inj.v * jidx) & (tt < dz / inj.v * (jidx + 1))
+            ).reshape(Z)
+            # injection normalized to the swept z-slab volume
+            # pi r_max^2 dz (update2d.f:1286)
+            slab_vol = jnp.sum(volume) / nz
+            inj_rate = inj.luminosity / jnp.maximum(
+                8.186e-7 * inj_e_mean * slab_vol, 1e-300
+            )
+            inj_rho = jnp.where(active, inj_rate * d_t, 0.0)
+            f_inj = f_inj + (
+                inj_rho[:, None] * prof[None, :] / inj_sum
+                / jnp.maximum(ne, 1e-300)[:, None]
+            )
+            n_inject = n_inject + inj_rho
+        npz = npz + n_inject
+        nlept_z = nlept_z + n_inject
+
+        # ---- escape of particles (update2d.f:1309-1313) ------------
+        esc_fac = t_esc / (t_esc + d_t)
+        npz = npz * esc_fac
+        nlept_z = nlept_z * esc_fac
+
+        # ---- operator (active terms, update2d.f:1048-1049) ---------
+        y_sy = gamma_R[:, None] / gamma[None, :]
+        dg_sy = jnp.where(
+            y_sy < 100.0,
+            -f_sy[:, None] * (gamma[None, :] ** 2 - 1.0)
+            / jnp.exp(jnp.minimum(y_sy, 100.0)),
+            -1e-50,
+        )
+        dgdt = dg_sy + dg_ic + dg_A
+        disp = disp_A
+        if phys.fp_include_coulomb:
+            dg_cp, disp_cp = _coulomb_drift(gamma, tna, npz, lnL)
+            dgdt = dgdt + dg_cp
+            disp = disp + disp_cp
+
+        a, b, c = chang_cooper_coeffs(gnt, dgdt, disp, d_t, t_esc)
+        f_new = thomas_solve(a, b, c, f_inj)
+        f_new = f_new.at[..., 0].set(0.0).at[..., -1].set(0.0)
+
+        s = jnp.maximum(jnp.sum(f_new * wdg, axis=-1, keepdims=True), 1e-300)
+        f_new = f_new / s
+
+        # ---- temperature from <gamma> (update2d.f:1440-1468) -------
+        gbar = jnp.sum(gamma * f_new * wdg, axis=-1)
+        th_new = tables.gamma_bar.inverse(gbar)
+
+        # ---- commit for not-done zones -----------------------------
+        upd = ~done
+        f = jnp.where(upd[:, None], f_new, f)
+        th_e = jnp.where(upd, th_new, th_e)
+        t_fp_new = jnp.where(upd, t_fp + d_t, t_fp)
+        done_new = t_fp_new >= dt
+        return it + 1, t_fp_new, f, th_e, npz, nlept_z, done_new
+
+    def cond(carry):
+        it, _, _, _, _, _, done = carry
+        return (it < phys.fp_max_substeps) & ~jnp.all(done)
+
+    th_e0 = tea0 / cn.EMASS_KEV
+    init = (
+        jnp.int32(0), jnp.zeros((Z,)), f_old, th_e0, n_p,
+        n_lept, jnp.zeros((Z,), bool),
+    )
+    it_end, _, f_fin, th_fin, np_fin, _, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    te_new = jnp.clip(
+        th_fin * cn.EMASS_KEV, phys.temp_min, phys.temp_max
+    )
+    # only update where protons exist (update2d.f:920-929)
+    te_new = jnp.where(tna > 1.0, te_new, tea0)
+    dT = jnp.abs(te_new - tea0) / jnp.maximum(te_new, 1e-30)
+    dT_max = jnp.max(dT)
+
+    e_el_new = jnp.sum(e_tot(f_fin, np_fin * (1.0 + f_pair)))
+
+    # adaptive dt (update2d.f:232-243)
+    dt_new = jnp.where(
+        dT_max < 0.2 * cn.DF_T, 3.0 * dt,
+        jnp.where(
+            dT_max < 0.75 * cn.DF_T, 1.1 * dt,
+            jnp.where(
+                dT_max > 5.0 * cn.DF_T, 0.33 * dt,
+                jnp.where(dT_max > 1.25 * cn.DF_T, 0.75 * dt, dt),
+            ),
+        ),
+    )
+
+    f_nt_new = f_fin.reshape(nz, nr, num_nt)
+    cdf_new = ed.build_cdf(f_nt_new, gnt)
+    zones_new = zones._replace(
+        tea=te_new.reshape(nz, nr),
+        n_e=np_fin.reshape(nz, nr),
+        f_nt=f_nt_new,
+        cdf_nt=cdf_new,
+    )
+    return FPResult(
+        zones=zones_new,
+        dt_new=dt_new,
+        dT_max=dT_max,
+        e_el_old=e_el_old,
+        e_el_new=e_el_new,
+        substeps=it_end,
+    )
+
+
+def _coulomb_drift(gamma, tna, n_p, lnL):
+    """Electron-proton Coulomb drift + dispersion for the optional
+    fp_include_coulomb path (update2d.f:898-907, 979-988; the exact
+    Intdgcp integrals are approximated by their nonrelativistic
+    Spitzer-like limits here)."""
+    th_p = tna / 9.382e5
+    beta = jnp.sqrt(jnp.maximum(1.0 - 1.0 / gamma**2, 1e-20))
+    pref = 1.194e-14 * n_p[:, None] * lnL
+    denom = (
+        (1.0 + 1.875 * th_p + 0.8203 * th_p**2)[:, None]
+        * jnp.sqrt(jnp.maximum(th_p, 1e-12))[:, None]
+        * gamma[None, :] ** 2 * beta[None, :]
+    )
+    dg_cp = -pref / jnp.maximum(denom, 1e-300) * (gamma[None, :] - 1.0)
+    disp_cp = jnp.abs(dg_cp) * jnp.maximum(th_p, 1e-12)[:, None]
+    return dg_cp, disp_cp

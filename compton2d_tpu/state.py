@@ -104,6 +104,8 @@ class Tallies(NamedTuple):
     ed_in: jnp.ndarray     # (nr,) energy incident on lower boundary
     ed_ref: jnp.ndarray    # (nr,) energy Compton-reflected at lower bnd
     e_killed: jnp.ndarray  # () energy lost to Russian-roulette kills
+    e_scatter: jnp.ndarray  # () net photon energy gained from electrons
+    e_src_lost: jnp.ndarray  # () source energy lost to slot overflow
 
     @classmethod
     def zeros(cls, nz, nr, num_nt, nphfield, n_gg, nmu, nphtotal, nph_lc):
@@ -120,6 +122,8 @@ class Tallies(NamedTuple):
             erlk_upper=f((nr,)), erlk_lower=f((nr,)),
             ed_in=f((nr,)), ed_ref=f((nr,)),
             e_killed=f(()),
+            e_scatter=f(()),
+            e_src_lost=f(()),
         )
 
 

@@ -45,7 +45,7 @@ class ScatterResult(NamedTuple):
     i_gam: jnp.ndarray   # int32 electron bin index (for the E_IC tally)
 
 
-def _sample_electron_and_angle(key, znu, draw_electron, max_tries):
+def _sample_electron_and_angle(key, znu, draw_electron, max_tries, need):
     """Stages 1-3: returns (gamma, beta, omeg, znue, i_gam).
 
     ``draw_electron(key) -> (gamma, beta, i_gam)`` supplies target
@@ -86,7 +86,7 @@ def _sample_electron_and_angle(key, znu, draw_electron, max_tries):
 
     z0 = jnp.zeros((n,), jnp.float32)
     init = (
-        0, key, jnp.zeros((n,), bool),
+        0, key, ~need,
         jnp.ones((n,), jnp.float32), z0, z0,
         jnp.full((n,), 1e-3, jnp.float32),
         jnp.zeros((n,), jnp.int32),
@@ -123,7 +123,7 @@ def _kn_ratio_f32(znue):
     return jnp.where(small, ser, full)
 
 
-def _sample_sz(key, znue, max_tries):
+def _sample_sz(key, znue, max_tries, need):
     """Stage 4 (compb_2d.f:98-107): sample sz = E'_rest/E_rest."""
     n = znue.shape[0]
     betz = 1.0 + 2.0 * znue
@@ -147,7 +147,7 @@ def _sample_sz(key, znue, max_tries):
         it, _, acc, _ = carry
         return (it < max_tries) & ~jnp.all(acc)
 
-    init = (0, key, jnp.zeros((n,), bool), jnp.ones((n,), jnp.float32))
+    init = (0, key, ~need, jnp.ones((n,), jnp.float32))
     _, _, _, sz = jax.lax.while_loop(cond, body, init)
     return sz
 
@@ -162,13 +162,19 @@ def scatter(
     gnt: jnp.ndarray,         # (num_nt,)
     max_tries: int = 64,
     draw_electron=None,
+    need: jnp.ndarray | None = None,
 ) -> ScatterResult:
     """Sample one Compton scattering for each photon in the batch.
 
     ``draw_electron`` overrides the zone-CDF target draw (testing with
-    prescribed electron populations)."""
+    prescribed electron populations). ``need`` marks the slots that
+    actually scatter this call — unneeded slots are treated as already
+    accepted so the rejection loops exit immediately (their outputs are
+    unused garbage)."""
     znu = (e_kev / cn.EMASS_KEV).astype(jnp.float32)
     n = znu.shape[0]
+    if need is None:
+        need = jnp.ones((n,), bool)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
 
     if draw_electron is None:
@@ -177,9 +183,9 @@ def scatter(
             return _draw_from_cdf(u_e, cdf_rows, gnt)
 
     gamma, beta, omeg, znue, i_gam = _sample_electron_and_angle(
-        k1, znu, draw_electron, max_tries
+        k1, znu, draw_electron, max_tries, need
     )
-    sz = _sample_sz(k2, znue, max_tries)
+    sz = _sample_sz(k2, znue, max_tries, need)
     znues = znue * sz
 
     # electron-frame angles (compb_2d.f:111-132)

@@ -1,0 +1,517 @@
+"""The photon-tracking flight loop, vectorized over all photon slots.
+
+Re-implements the reference's recursive per-photon tracker + boundary
+handler (``/root/reference/src/imctrk2d.f``, ``imcleak2d.f``) as a single
+lock-step masked ``while_loop`` over the photon SoA:
+
+per iteration, every in-flight photon
+  1. draws an optical depth and looks up its zone's macroscopic Compton
+     cross section from the per-step (zones x n_vol) table (replacing the
+     per-photon 200-term integral + memo cache of imctrk2d.f:170-187);
+  2. computes the distance to its zone boundary (cylindrical geometry);
+  3. takes the nearest event: census (ran out of time step), collision,
+     or boundary crossing (imctrk2d.f:216-379);
+  4. attenuates continuously (synchrotron self-absorption + gamma-gamma),
+     depositing energy/pressure (imctrk2d.f:382-462);
+  5. executes the event: zone hop / leak (escape, reflection, event
+     record) / Compton scatter (in-loop, so multiply-scattered photons
+     keep flying) / census (goes inactive, stays in the buffer).
+
+Differences from the reference (deliberate):
+
+- the three-level in-flight splitting (imctrk2d.f:105-661) is replaced by
+  source-side replication (config ``split``) — the reference's det_src
+  variant runs split1=1, establishing physics equivalence;
+- census tallies (ecens/npcen/n_field/n_ph, imctrk2d.f:528-556) are made
+  in one vectorized pass after the loop over surviving photons;
+- RNG is counter-based: every (step, iteration) gets an independent
+  threefry key, so results are independent of slot order and device
+  count.
+
+Weight-kill: photons below ``weight_floor * birth_weight`` die, their
+energy tallied to ``e_killed`` (imctrk2d.f:81-91,465 kills silently).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from compton2d_tpu import constants as cn
+from compton2d_tpu.state import EventBuffer, PhotonArray, Tallies
+from compton2d_tpu.transport import geometry as geo
+from compton2d_tpu.transport.scatter import scatter
+
+
+@dataclass(frozen=True)
+class TrackStatics:
+    """Python-static configuration closed over by the jitted loop."""
+
+    nz: int
+    nr: int
+    cr_sent: int = 0
+    pair_switch: int = 0
+    rmin_positive: bool = False
+    max_iters: int = 512
+    max_scatter_tries: int = 64
+    weight_floor: float = 1.0e-10
+    upper_escape_mu_cut: float = 0.98   # imcleak2d.f:303 event filter
+
+
+class TrackContext(NamedTuple):
+    """Per-step device inputs for the tracker."""
+
+    r_edges: jnp.ndarray       # (nr+1,) f32
+    z_edges: jnp.ndarray       # (nz+1,) f32
+    sigma_zone: jnp.ndarray    # (nz*nr, n_vol) f32 scattering [1/cm]
+    kappa_zone: jnp.ndarray    # (nz*nr, n_vol) f32 absorption [1/cm]
+    kgg_zone: jnp.ndarray      # (nz*nr, n_gg) f32 gamma-gamma [1/cm]
+    cdf_nt: jnp.ndarray        # (nz*nr, num_nt) f32 electron CDFs
+    gnt: jnp.ndarray           # (num_nt,)
+    e_ph_log0: jnp.ndarray     # () log of first e_ph grid point
+    e_ph_dlog: jnp.ndarray     # () log spacing
+    e_gg_log0: jnp.ndarray
+    e_gg_dlog: jnp.ndarray
+    e_field_log0: jnp.ndarray
+    e_field_dlog: jnp.ndarray
+    hu: jnp.ndarray            # (nphtotal+1,) spectral edges
+    mu_edges: jnp.ndarray      # (nmu,)
+    lc_lo: jnp.ndarray         # (nph_lc,)
+    lc_hi: jnp.ndarray
+    e_ref: jnp.ndarray         # (n_ref,)
+    p_ref_t: jnp.ndarray       # (n_ref_in, n_ref_out) = P_ref transposed
+    w_abs_t: jnp.ndarray       # (n_ref_in, n_ref_out)
+    tbbl_pos: jnp.ndarray      # (nr,) bool: lower bnd thermal this window
+    time: jnp.ndarray          # () f64 [s]
+    dt: jnp.ndarray            # () f64 [s]
+
+
+def _loggrid_interp(table, zid, e, log0, dlog):
+    """Log-linear interpolation of per-zone tables: table (nzones, n_e),
+    photon energies e (n,), zone ids zid (n,)."""
+    n_e = table.shape[1]
+    x = (jnp.log(jnp.maximum(e, 1e-30)) - log0) / dlog
+    x = jnp.clip(x, 0.0, n_e - 1.000001)
+    i0 = jnp.floor(x).astype(jnp.int32)
+    f = (x - i0).astype(table.dtype)
+    v0 = table[zid, i0]
+    v1 = table[zid, i0 + 1]
+    return v0 * (1.0 - f) + v1 * f
+
+
+def spectral_bin(hu, e):
+    """Spectrum bin index, -1 if outside [hu_0, hu_N]
+    (get_bin, imcleak2d.f:342-371)."""
+    i = jnp.searchsorted(hu, e.astype(hu.dtype)) - 1
+    valid = (e > hu[0] * 1.000001) & (e < hu[-1] * 0.999999)
+    return jnp.where(valid, jnp.clip(i, 0, hu.shape[0] - 2), -1).astype(
+        jnp.int32
+    )
+
+
+def lc_bin(lc_lo, lc_hi, e):
+    """First light-curve band containing e, -1 if none
+    (imcleak2d.f:375-386)."""
+    e64 = e.astype(lc_lo.dtype)
+    m = (e64[:, None] > lc_lo[None, :]) & (e64[:, None] <= lc_hi[None, :])
+    any_m = jnp.any(m, axis=1)
+    first = jnp.argmax(m, axis=1).astype(jnp.int32)
+    return jnp.where(any_m, first, -1)
+
+
+def mu_bin(mu_edges, mu):
+    """Angular bin: first n with mu <= mu_edges[n] (imcleak2d.f:390-398)."""
+    i = jnp.searchsorted(mu_edges, mu.astype(mu_edges.dtype), side="left")
+    return jnp.clip(i, 0, mu_edges.shape[0] - 1).astype(jnp.int32)
+
+
+def transport_step(
+    photons: PhotonArray,
+    tallies: Tallies,
+    events: EventBuffer,
+    key: jax.Array,
+    ctx: TrackContext,
+    st: TrackStatics,
+) -> Tuple[PhotonArray, Tallies, EventBuffer]:
+    """Track every photon to its census time, escape, or absorption."""
+    n = photons.n_slots
+
+    def zone_id(jz, kr):
+        return jnp.clip(jz, 0, st.nz - 1) * st.nr + jnp.clip(
+            kr, 0, st.nr - 1
+        )
+
+    def body(carry):
+        it, ph, tl, ev = carry
+        kit = jax.random.fold_in(key, it)
+        k_tau, k_absp, k_scat, k_refl1, k_refl2 = jax.random.split(kit, 5)
+
+        act = ph.alive & (ph.dcen > 0.0)
+        zid = zone_id(ph.jz, ph.kr)
+
+        # --- 1. cross sections & optical depth draw ------------------
+        sig_s = _loggrid_interp(
+            ctx.sigma_zone, zid, ph.e, ctx.e_ph_log0, ctx.e_ph_dlog
+        )
+        sig_s = jnp.maximum(sig_s, 1e-40)
+        u_tau = jax.random.uniform(
+            k_tau, (n,), jnp.float32, minval=1e-12, maxval=1.0
+        )
+        dcol = -jnp.log(u_tau) / sig_s
+
+        # --- 2. geometry ---------------------------------------------
+        g = geo.distance_to_boundary(
+            ph.r, ph.z, ph.mu, ph.cphi, ph.sphi,
+            jnp.clip(ph.jz, 0, st.nz - 1), jnp.clip(ph.kr, 0, st.nr - 1),
+            ctx.r_edges, ctx.z_edges,
+        )
+
+        # --- 3. event selection (imctrk2d.f:216-379) -----------------
+        trld = jnp.minimum(ph.dcen, dcol)
+        ikind = jnp.where(ph.dcen <= dcol, 2, 3)
+        hit_bnd = g.trldb < trld
+        trld = jnp.where(hit_bnd, g.trldb, trld)
+        ikind = jnp.where(hit_bnd, 1, ikind)
+
+        # --- 4. continuous absorption (imctrk2d.f:382-462) -----------
+        kap = _loggrid_interp(
+            ctx.kappa_zone, zid, ph.e, ctx.e_ph_log0, ctx.e_ph_dlog
+        )
+        if st.pair_switch:
+            kgg = _loggrid_interp(
+                ctx.kgg_zone, zid, ph.e, ctx.e_gg_log0, ctx.e_gg_dlog
+            )
+            kgg = jnp.where(
+                ph.e > jnp.exp(ctx.e_gg_log0), kgg,
+                kgg * ph.e / jnp.exp(ctx.e_gg_log0).astype(jnp.float32),
+            )
+        else:
+            kgg = jnp.zeros_like(kap)
+        sigabs = jnp.maximum(kap + kgg, 1e-40)
+        xabs = sigabs * trld
+        ewnew = jnp.where(xabs < 100.0, ph.w * jnp.exp(-xabs), 0.0)
+        deleabs = jnp.maximum(ph.w - ewnew, 0.0)
+        # gamma-gamma absorbed energy above 47 keV becomes pairs, not
+        # heat (imctrk2d.f:429-434)
+        if st.pair_switch:
+            frac_heat = jnp.where(
+                ph.e > 47.0, jnp.maximum(sigabs - kgg, 0.0) / sigabs, 1.0
+            )
+        else:
+            frac_heat = jnp.ones_like(sigabs)
+        edep_add = jnp.where(act, deleabs * frac_heat, 0.0)
+        # pressure deposit with sampled absorption depth
+        # (imctrk2d.f:440-457)
+        u_s = jax.random.uniform(k_absp, (n,), jnp.float32, 1e-7, 1.0)
+        tiny_abs = xabs <= 1e-5
+        frac = jnp.clip(-jnp.expm1(-xabs) * u_s, 0.0, 0.999999)
+        sstar = jnp.where(
+            tiny_abs, 0.5 * trld, -jnp.log1p(-frac) / sigabs
+        )
+        denom = jnp.sqrt(
+            jnp.maximum(
+                ph.r**2 + 2.0 * ph.mu * ph.r * sstar + sstar**2, 1e-20
+            )
+        )
+        wmustar = jnp.where(
+            tiny_abs, ph.mu, (ph.mu * ph.r + sstar) / denom
+        )
+        prdep_add = jnp.where(
+            act, deleabs * wmustar * jnp.float32(cn.C_LIGHT), 0.0
+        )
+        tl = tl._replace(
+            edep=tl.edep.reshape(-1).at[zid].add(
+                edep_add, mode="drop"
+            ).reshape(st.nz, st.nr),
+            prdep=tl.prdep.reshape(-1).at[zid].add(
+                prdep_add, mode="drop"
+            ).reshape(st.nz, st.nr),
+        )
+
+        # --- weight floor kill (imctrk2d.f:465) ----------------------
+        killed = act & (ewnew <= st.weight_floor * ph.w0)
+        tl = tl._replace(
+            e_killed=tl.e_killed + jnp.sum(jnp.where(killed, ewnew, 0.0))
+        )
+
+        # --- 5. move -------------------------------------------------
+        # (geo.advance inlined so the boundary case can pin the exact
+        # boundary coordinates, imctrk2d.f:365-379)
+        on_bnd = act & (ikind == 1)
+        f_h = trld * jnp.sqrt(jnp.maximum(1.0 - ph.mu**2, 0.0))
+        r_free = jnp.sqrt(
+            jnp.maximum(
+                f_h**2 + ph.r**2 + 2.0 * f_h * ph.r * ph.cphi, 0.0
+            )
+        )
+        rnew = jnp.where(on_bnd, g.rbnd, r_free)
+        znew = jnp.where(on_bnd, g.zbnd, ph.z + trld * ph.mu)
+        rs = jnp.maximum(rnew, 1e-20)
+        cphi_n = jnp.clip((f_h + ph.cphi * ph.r) / rs, -1.0, 1.0)
+        sphi_n = jnp.clip(ph.sphi * ph.r / rs, -1.0, 1.0)
+        nrm = jnp.sqrt(jnp.maximum(cphi_n**2 + sphi_n**2, 1e-12))
+        cphi_n, sphi_n = cphi_n / nrm, sphi_n / nrm
+
+        upd = act & ~killed
+        ph = ph._replace(
+            w=jnp.where(act, jnp.where(killed, 0.0, ewnew), ph.w),
+            r=jnp.where(upd, rnew, ph.r),
+            z=jnp.where(upd, znew, ph.z),
+            cphi=jnp.where(upd, cphi_n, ph.cphi),
+            sphi=jnp.where(upd, sphi_n, ph.sphi),
+            dcen=jnp.where(upd, ph.dcen - trld, ph.dcen),
+            alive=ph.alive & ~killed,
+        )
+
+        # --- 6a. boundary crossings / leaks --------------------------
+        cross = upd & (ikind == 1)
+        in_dom = (
+            (g.jnew >= 0) & (g.jnew < st.nz)
+            & (g.knew >= 0) & (g.knew < st.nr)
+        )
+        ph = ph._replace(
+            jz=jnp.where(cross & in_dom, g.jnew, ph.jz),
+            kr=jnp.where(cross & in_dom, g.knew, ph.kr),
+        )
+        ph, tl, ev = _leak(
+            ph, tl, ev, cross & ~in_dom, g, ctx, st, k_refl1, k_refl2
+        )
+
+        # --- 6b. scattering (in-flight, imctrk2d.f:580-684) ----------
+        sct = upd & (ikind == 3) & ph.alive
+        cdf_rows = ctx.cdf_nt[zid]
+        res = scatter(
+            k_scat, ph.e, ph.mu, ph.cphi, ph.sphi, cdf_rows, ctx.gnt,
+            max_tries=st.max_scatter_tries, need=sct,
+        )
+        w_old = ph.w
+        w_new = ph.w * res.wscale
+        d_e = jnp.where(sct, w_new - w_old, 0.0)
+        tl = tl._replace(
+            edep=tl.edep.reshape(-1).at[zid].add(
+                d_e, mode="drop"
+            ).reshape(st.nz, st.nr),
+            e_ic=tl.e_ic.at[res.i_gam].add(d_e, mode="drop"),
+            e_scatter=tl.e_scatter + jnp.sum(d_e),
+        )
+        ph = ph._replace(
+            e=jnp.where(sct, res.e, ph.e),
+            w=jnp.where(sct, w_new, ph.w),
+            mu=jnp.where(sct, res.mu, ph.mu),
+            cphi=jnp.where(sct, res.cphi, ph.cphi),
+            sphi=jnp.where(sct, res.sphi, ph.sphi),
+        )
+
+        return it + 1, ph, tl, ev
+
+    def cond(carry):
+        it, ph, _, _ = carry
+        return (it < st.max_iters) & jnp.any(ph.alive & (ph.dcen > 0.0))
+
+    _, photons, tallies, events = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), photons, tallies, events)
+    )
+
+    # stragglers that exhausted max_iters go to census as-is
+    photons = photons._replace(
+        dcen=jnp.where(photons.alive, 0.0, photons.dcen)
+    )
+    return photons, tallies, events
+
+
+def _leak(ph, tl, ev, mask, g, ctx, st, k1, k2):
+    """Boundary handler (imcleak2d.f): escapes, reflection, axis."""
+    n = ph.n_slots
+    at_inner = mask & (g.knew < 0)
+    at_outer = mask & (g.knew >= st.nr)
+    at_lower = mask & (g.jnew < 0) & ~at_inner & ~at_outer
+    at_upper = mask & (g.jnew >= st.nz) & ~at_inner & ~at_outer
+
+    jz_c = jnp.clip(ph.jz, 0, st.nz - 1)
+    kr_c = jnp.clip(ph.kr, 0, st.nr - 1)
+
+    # inner r boundary (imcleak2d.f:71-88)
+    if st.rmin_positive:
+        tl = tl._replace(
+            erlk_inner=tl.erlk_inner.at[jz_c].add(
+                jnp.where(at_inner, ph.w, 0.0)
+            )
+        )
+        die_inner = at_inner
+    else:
+        # transparent axis: point outward, stay in zone 0
+        ph = ph._replace(
+            cphi=jnp.where(at_inner, 1.0, ph.cphi),
+            sphi=jnp.where(at_inner, 1e-6, ph.sphi),
+            kr=jnp.where(at_inner, 0, ph.kr),
+        )
+        die_inner = jnp.zeros((n,), bool)
+
+    # leakage tallies
+    tl = tl._replace(
+        erlk_outer=tl.erlk_outer.at[jz_c].add(
+            jnp.where(at_outer, ph.w, 0.0)
+        ),
+        erlk_upper=tl.erlk_upper.at[kr_c].add(
+            jnp.where(at_upper, ph.w, 0.0)
+        ),
+        erlk_lower=tl.erlk_lower.at[kr_c].add(
+            jnp.where(at_lower, ph.w, 0.0)
+        ),
+        ed_in=tl.ed_in.at[kr_c].add(
+            jnp.where(at_lower & ctx.tbbl_pos[kr_c], ph.w, 0.0)
+        ),
+    )
+
+    # --- lower-boundary Compton reflection (imcleak2d.f:104-165) -----
+    reflect_low = jnp.zeros((n,), bool)
+    if st.cr_sent in (1, 3, 4):
+        reflect_low = at_lower
+        mirror = ~ctx.tbbl_pos[kr_c] | (st.cr_sent == 4)
+        refl_sample = reflect_low & ~mirror
+        # redistribute energy via the P_ref column CDF
+        n_in = jnp.clip(
+            jnp.searchsorted(ctx.e_ref, ph.e.astype(ctx.e_ref.dtype)),
+            0, ctx.e_ref.shape[0] - 1,
+        ).astype(jnp.int32)
+        u = jax.random.uniform(k1, (n,), jnp.float32)
+        rows = ctx.p_ref_t[n_in]                    # (n, n_ref_out)
+        n_out = jnp.sum(
+            (rows < u[:, None]).astype(jnp.int32), axis=1
+        )
+        n_out = jnp.clip(n_out, 0, ctx.e_ref.shape[0] - 1)
+        u2 = jax.random.uniform(k2, (n,), jnp.float32)
+        e_lo = ctx.e_ref[jnp.maximum(n_out - 1, 0)]
+        e_hi = ctx.e_ref[n_out]
+        e_new = jnp.where(
+            n_out > 0, e_lo + u2 * (e_hi - e_lo), ctx.e_ref[0]
+        ).astype(jnp.float32)
+        w_fac = ctx.w_abs_t[n_in, n_out].astype(jnp.float32)
+        w_new = ph.w * w_fac * e_new / jnp.maximum(ph.e, 1e-30)
+        tl = tl._replace(
+            ed_ref=tl.ed_ref.at[kr_c].add(
+                jnp.where(refl_sample, w_new, 0.0)
+            )
+        )
+        ph = ph._replace(
+            e=jnp.where(refl_sample, e_new, ph.e),
+            w=jnp.where(refl_sample, w_new, ph.w),
+            mu=jnp.where(reflect_low, jnp.abs(ph.mu), ph.mu),
+            jz=jnp.where(reflect_low, 0, ph.jz),
+        )
+
+    # --- escapes ------------------------------------------------------
+    # NOTE: outer-disk reflection (cr_sent 2/3, imcleak2d.f:216-272) is
+    # not yet implemented; those photons escape. TODO(reflection-disk).
+    esc_lower = at_lower & ~reflect_low
+    esc_upper = at_upper
+    escaping = at_outer | esc_lower | esc_upper | die_inner
+
+    # absorbed-at-inner-boundary photons are not escapes: no event record
+    record = (at_outer | esc_lower | esc_upper) & ~(
+        esc_upper & (ph.mu >= st.upper_escape_mu_cut)
+    )
+    t_bound = (
+        ctx.time + ctx.dt - jnp.float64(cn.RAD_CP) * ph.dcen
+    ).astype(jnp.float32)
+
+    sp = spectral_bin(ctx.hu, ph.e)
+    lc = lc_bin(ctx.lc_lo, ctx.lc_hi, ph.e)
+    mb = mu_bin(ctx.mu_edges, ph.mu)
+    w_tal = jnp.where(record, ph.w, 0.0)
+    tl = tl._replace(
+        fout=tl.fout.at[mb, jnp.maximum(sp, 0)].add(
+            jnp.where(sp >= 0, w_tal, 0.0)
+        ),
+        edout=tl.edout.at[mb, jnp.maximum(lc, 0)].add(
+            jnp.where(lc >= 0, w_tal, 0.0) / ctx.dt
+        ),
+    )
+
+    # event records (imcleak2d.f:105 format)
+    phi = jnp.arctan2(ph.sphi, ph.cphi)
+    rec = jnp.stack(
+        [t_bound, ph.e, ph.w, ph.r, ph.z, ph.mu, phi], axis=1
+    )
+    n_rec = jnp.sum(record.astype(jnp.int32)).astype(jnp.int32)
+    idx = (
+        ev.count + jnp.cumsum(record.astype(jnp.int32)).astype(jnp.int32)
+        - 1
+    )
+    write = record & (idx < ev.data.shape[0])
+    ev = ev._replace(
+        data=ev.data.at[jnp.where(write, idx, ev.data.shape[0])].set(
+            rec, mode="drop"
+        ),
+        count=(ev.count + n_rec).astype(jnp.int32),
+    )
+
+    ph = ph._replace(alive=ph.alive & ~(escaping | die_inner))
+    return ph, tl, ev
+
+
+def census_tally(
+    photons: PhotonArray,
+    tallies: Tallies,
+    ctx: TrackContext,
+    st: TrackStatics,
+    energy_scale: float,
+) -> Tallies:
+    """Census tallies over the surviving photon population
+    (imctrk2d.f:528-556), one vectorized pass after tracking."""
+    alive = photons.alive
+    zid = (
+        jnp.clip(photons.jz, 0, st.nz - 1) * st.nr
+        + jnp.clip(photons.kr, 0, st.nr - 1)
+    )
+    w = jnp.where(alive, photons.w, 0.0)
+    nzr = st.nz * st.nr
+
+    ecens = tallies.ecens.reshape(-1).at[zid].add(w, mode="drop")
+    npcen = tallies.npcen.reshape(-1).at[zid].add(
+        jnp.where(alive, 1.0, 0.0), mode="drop"
+    )
+
+    # photon-number field for IC losses (imctrk2d.f:547-556):
+    # count = 6.25e8 * ew[erg] / E[keV]
+    counts = jnp.where(
+        alive,
+        cn.PHOTONS_PER_ERG_KEV * w.astype(jnp.float64) * energy_scale
+        / jnp.maximum(photons.e.astype(jnp.float64), 1e-30),
+        0.0,
+    )
+    nphf = tallies.n_field.shape[-1]
+    xf = (
+        jnp.log(jnp.maximum(photons.e, 1e-30)) - ctx.e_field_log0
+    ) / ctx.e_field_dlog
+    fbin = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, nphf - 1)
+    # threshold: only above E_field[0]^2/E_field[1] (imctrk2d.f:550-553)
+    egg_min = jnp.exp(2.0 * ctx.e_field_log0 - (
+        ctx.e_field_log0 + ctx.e_field_dlog
+    ))
+    in_field = photons.e > egg_min.astype(jnp.float32)
+    n_field = tallies.n_field.reshape(nzr, nphf).at[
+        zid, fbin
+    ].add(jnp.where(in_field, counts, 0.0), mode="drop")
+
+    # gamma-gamma field (imctrk2d.f:537-545)
+    ngg = tallies.n_ph.shape[-1]
+    xg = (
+        jnp.log(jnp.maximum(photons.e, 1e-30)) - ctx.e_gg_log0
+    ) / ctx.e_gg_dlog
+    gbin = jnp.clip(jnp.floor(xg).astype(jnp.int32), 0, ngg - 1)
+    egg0 = jnp.exp(ctx.e_gg_log0)
+    egg_thresh = (egg0 * egg0 / jnp.exp(ctx.e_gg_log0 + ctx.e_gg_dlog))
+    in_gg = photons.e > egg_thresh.astype(jnp.float32)
+    n_ph = tallies.n_ph.reshape(nzr, ngg).at[zid, gbin].add(
+        jnp.where(in_gg, counts, 0.0), mode="drop"
+    )
+
+    return tallies._replace(
+        ecens=ecens.reshape(st.nz, st.nr),
+        npcen=npcen.reshape(st.nz, st.nr),
+        n_field=n_field.reshape(st.nz, st.nr, nphf),
+        n_ph=n_ph.reshape(st.nz, st.nr, ngg),
+    )
