@@ -33,16 +33,16 @@ master-worker MPI task farm):
   populations are sharded over devices (data parallel) with deterministic
   tallies.
 
-Precision policy: photon/transport state is float32 (with unit scaling for
-energy weights); zone-level physics and the FP solve run in float64
-(enabled globally below, required for the Chang-Cooper exponentials and
-energy audits).
+Precision policy: EVERYTHING on device is float32, with unit scaling —
+lengths in units of L0 = max(r_max, z_max), energies in units of
+E0 = RunConfig.energy_scale — because cgs magnitudes (1e56 erg, 1e45 cm^3)
+overflow the f32 range and float64 is not usable on the target TPU
+(f32-pair emulation: f32 exponent range, and plain f64 programs hang).
+Setup-time tables are built in host numpy float64 and cast to f32 device
+constants. Scalar fold-factors (e.g. sigma_SB * L0^2 / E0) are combined
+in Python floats before touching traced arrays so no intermediate leaves
+the f32 range.
 """
-
-import jax
-
-# Zone physics / FP solve need f64; photon arrays remain explicitly f32.
-jax.config.update("jax_enable_x64", True)
 
 from compton2d_tpu import constants  # noqa: E402
 from compton2d_tpu.config import (  # noqa: E402

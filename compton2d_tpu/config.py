@@ -241,9 +241,10 @@ class RunConfig:
     max_flight_iters: int = 512  # bound on flight segments per step
     max_scatter_tries: int = 64  # bound on rejection-sampling rounds
     event_capacity: int = 1 << 16  # escaping-photon records per step
-    # photon energy-weight unit [erg] (f32 weights are stored in units of
-    # this scale)
-    energy_scale: float = 1.0e30
+    # energy unit E0 [erg]: all device energies are stored / E0 (f32
+    # range safety, see compton2d_tpu.units). None = auto-estimated from
+    # the configuration at setup.
+    energy_scale: Optional[float] = None
     out_dir: str = "output"
     event_file: str = "evb.dat"
     walltime_budget_s: float = 0.0   # 0 = no walltime checkpointing

@@ -50,6 +50,7 @@ from compton2d_tpu.transport.tracking import (
     census_tally,
     transport_step,
 )
+from compton2d_tpu.units import Scales, make_scales
 
 
 class StepOutputs(NamedTuple):
@@ -93,6 +94,58 @@ def _source_static(cfg: SimConfig, window) -> sourcing.SourceStatic:
     )
 
 
+def source_static_with_spectrum(
+    cfg: SimConfig,
+    window,
+    scales: Scales,
+    spectrum_file: Optional[str] = None,
+) -> sourcing.SourceStatic:
+    """SourceStatic with an external file-spectrum CDF attached
+    (file_sp, imcsurf2d_para.f:544-685). ``file_flux`` is stored in
+    scaled units E/(L^2 s)."""
+    from compton2d_tpu.io.legacy import external_spectrum
+
+    base = _source_static(cfg, window)
+    if spectrum_file is None:
+        return base
+    e_file, _, p_file, int_file = external_spectrum(
+        spectrum_file, cfg.source.external
+    )
+    return base._replace(
+        file_e=jnp.asarray(e_file, jnp.float32),
+        file_cdf=jnp.asarray(p_file[: len(e_file)], jnp.float32),
+        file_flux=jnp.asarray(int_file * scales.L2 / scales.E, jnp.float32),
+    )
+
+
+def _estimate_energy_scale(cfg: SimConfig, zone_init: ZoneInit) -> float:
+    """Order-of-magnitude energy unit E0 so per-step scaled energies sit
+    around 1e6 (f32 has ~38 decades of headroom; precision only needs
+    the magnitude to be sane)."""
+    g = cfg.grid
+    dt0 = (
+        cfg.run.mcdt
+        * min(g.r_max / g.nr, g.z_max / g.nz)
+        / cfg.physics.injection.v
+    )
+    area = np.pi * g.r_max**2
+    tbb_max = 0.0
+    for w in cfg.windows:
+        for arr in (w.tbb_lower, w.tbb_upper, w.tbb_inner, w.tbb_outer):
+            tbb_max = max(tbb_max, max((abs(t) for t in arr), default=0.0))
+    bb = cn.SIGMA_SB_KEV * tbb_max**4 * area * dt0
+    vol_tot = np.pi * g.r_max**2 * g.z_max
+    sy = (
+        1.058e-15
+        * float(np.max(zone_init.n_e))
+        * float(np.max(zone_init.B_field)) ** 2
+        * float(np.max(zone_init.gmax))
+        * vol_tot * dt0 * 0.01
+    )
+    inj = cfg.physics.injection.luminosity * dt0
+    return max(bb, sy, inj, 1.0) / 1e6
+
+
 class Simulation:
     """Owns the static configuration, tables, and the jitted step."""
 
@@ -101,26 +154,34 @@ class Simulation:
         cfg: SimConfig,
         zone_init: Optional[ZoneInit] = None,
         source_static: Optional[sourcing.SourceStatic] = None,
+        mesh=None,
     ):
         self.cfg = cfg
-        self.grid: Grid = make_grid(cfg.grid)
-        self.tables: Tables = build_tables(cfg.grid)
         if zone_init is None:
             zone_init = ZoneInit.uniform(cfg.grid)
+        e_scale = cfg.run.energy_scale or _estimate_energy_scale(
+            cfg, zone_init
+        )
+        self.scales: Scales = make_scales(
+            cfg.grid.z_max, cfg.grid.r_max, e_scale
+        )
+        self.grid: Grid = make_grid(cfg.grid, self.scales.L)
+        self.tables: Tables = build_tables(cfg.grid, self.scales.L)
         zones = init_zone_state(cfg, zone_init, self.tables)
 
         dt0 = initial_dt(
-            self.grid, cfg.run.mcdt, cfg.physics.injection.v
+            self.grid, cfg.run.mcdt, cfg.physics.injection.v,
+            length_scale=self.scales.L,
         )
         g = cfg.grid
         self.state = SimState(
             zones=zones,
             photons=PhotonArray.empty(cfg.run.n_slots),
-            time=jnp.zeros((), jnp.float64),
-            dt=jnp.asarray(dt0, jnp.float64),
-            dt_prev=jnp.asarray(dt0, jnp.float64),
+            time=jnp.zeros((), jnp.float32),
+            dt=jnp.asarray(dt0, jnp.float32),
+            dt_prev=jnp.asarray(dt0, jnp.float32),
             ncycle=jnp.zeros((), jnp.int32),
-            key=jax.random.key(cfg.run.seed),
+            key=jax.random.PRNGKey(cfg.run.seed),
             ed_abs=jnp.zeros((g.nr,)),
             ed_ref=jnp.zeros((g.nr,)),
             k_gg=jnp.zeros((g.nz, g.nr, g.n_gg)),
@@ -135,16 +196,102 @@ class Simulation:
                 cfg, cfg.windows[0] if cfg.windows else None
             )
         )
-        self._step_jit = jax.jit(
-            lambda s, src, grid, tab: _step_impl(s, src, grid, tab, cfg)
-        )
+        self.mesh = mesh
+        scales = self.scales
+        if mesh is None:
+            self._step_jit = jax.jit(
+                lambda s, src, grid, tab: _step_impl(
+                    s, src, grid, tab, cfg, scales
+                )
+            )
+        else:
+            from compton2d_tpu.parallel import mesh as pmesh
+
+            ndev = int(np.prod(mesh.devices.shape))
+            if cfg.run.n_slots % ndev:
+                raise ValueError(
+                    f"n_slots={cfg.run.n_slots} must divide evenly over "
+                    f"{ndev} devices"
+                )
+            # outputs: tallies & scalars replicated (psum'd inside),
+            # events per-device
+            dummy_out = StepOutputs(
+                tallies=Tallies.zeros(
+                    cfg.grid.nz, cfg.grid.nr, cfg.grid.num_nt,
+                    cfg.grid.nphfield, cfg.grid.n_gg, cfg.grid.nmu,
+                    cfg.grid.nphtotal, cfg.grid.nph_lc,
+                ),
+                events=EventBuffer.empty(1),
+                bingo=jnp.zeros(()),
+                e_el_old=jnp.zeros(()),
+                e_el_new=jnp.zeros(()),
+                dT_max=jnp.zeros(()),
+                fp_substeps=jnp.zeros((), jnp.int32),
+            )
+            out_specs = (
+                pmesh.simstate_specs(self.state),
+                dummy_out._replace(
+                    events=pmesh.sharded_specs(dummy_out.events),
+                    **{
+                        f: pmesh.replicated_specs(getattr(dummy_out, f))
+                        for f in (
+                            "tallies", "bingo", "e_el_old", "e_el_new",
+                            "dT_max", "fp_substeps",
+                        )
+                    },
+                ),
+            )
+            in_specs = (
+                pmesh.simstate_specs(self.state),
+                pmesh.replicated_specs(self.src_static),
+                pmesh.replicated_specs(self.grid),
+                pmesh.replicated_specs(self.tables),
+            )
+            fn = pmesh.shard_map(
+                lambda s, src, grid, tab: _step_impl(
+                    s, src, grid, tab, cfg, scales,
+                    axis_name=pmesh.AXIS, n_devices=ndev,
+                ),
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+            )
+            self._step_jit = jax.jit(fn)
         self.last_outputs: Optional[StepOutputs] = None
+
+    def attach_outputs(self, out_dir: str, event_file: str = "evb.dat"):
+        """Enable run-level output accumulation + event-file spooling
+        (the reference's graphics + pNNN_evb.dat outputs)."""
+        import os
+
+        from compton2d_tpu.io.events import EventFileWriter
+        from compton2d_tpu.io.outputs import OutputAccumulator
+
+        self.out_dir = out_dir
+        self.outputs = OutputAccumulator(
+            np.asarray(self.tables.hu),
+            np.asarray(self.tables.mu_edges),
+            self.cfg.grid.lc_bands,
+            self.scales.E,
+        )
+        self.event_writer = EventFileWriter(
+            os.path.join(out_dir, event_file), self.scales.E
+        )
+        return self
 
     def step(self) -> StepOutputs:
         self.state, out = self._step_jit(
             self.state, self.src_static, self.grid, self.tables
         )
         self.last_outputs = out
+        if getattr(self, "outputs", None) is not None:
+            self.outputs.add_step(
+                out.tallies,
+                float(self.state.time) - float(self.state.dt_prev),
+                float(self.state.dt_prev),
+                tea=np.asarray(self.state.zones.tea),
+            )
+            self.event_writer.write(out.events)
         return out
 
     def run(self, n_steps: int):
@@ -152,16 +299,71 @@ class Simulation:
             self.step()
         return self.last_outputs
 
+    def run_to_stop(
+        self,
+        walltime_budget_s: float = 0.0,
+        checkpoint_path: Optional[str] = None,
+        max_steps: int = 1_000_000,
+        verbose: bool = False,
+    ) -> bool:
+        """Advance until time - dt_prev >= t_stop (xec2d.f:110), with the
+        reference's walltime-triggered self-checkpoint (xec2d.f:50-55).
+        Returns True if the run completed (False = checkpointed out)."""
+        from compton2d_tpu.io.checkpoint import WalltimeGuard, save_checkpoint
+
+        guard = WalltimeGuard(
+            walltime_budget_s or self.cfg.run.walltime_budget_s,
+            self.cfg.run.checkpoint_frac,
+        )
+        for _ in range(max_steps):
+            t = float(self.state.time)
+            if t - float(self.state.dt_prev) >= self.cfg.run.t_stop:
+                break
+            if guard.should_checkpoint():
+                if checkpoint_path:
+                    save_checkpoint(
+                        checkpoint_path, self.state,
+                        {"ncycle": int(self.state.ncycle),
+                         "time": float(self.state.time)},
+                    )
+                return False
+            self.step()
+            if verbose:
+                print(self.summary())
+        if getattr(self, "outputs", None) is not None:
+            self.finalize_outputs()
+        return True
+
+    def finalize_outputs(self):
+        import os
+
+        elapsed = float(self.state.time) + float(self.state.dt)
+        self.outputs.write_spectrum(
+            os.path.join(self.out_dir, "spectrum.dat"), elapsed
+        )
+        self.outputs.write_spectrum(
+            os.path.join(self.out_dir, "photons.dat"), elapsed,
+            photons=True,
+        )
+        self.outputs.write_light_curves(
+            os.path.join(self.out_dir, "lc")
+        )
+        self.outputs.write_temperature_profile(
+            os.path.join(self.out_dir, "temp_profile.dat"),
+            np.asarray(self.grid.r_edges) * self.scales.L,
+            n_e=np.asarray(self.state.zones.n_e),
+        )
+
     # ---------------- diagnostics -----------------------------------
     def summary(self) -> str:
         o = self.last_outputs
         s = self.state
-        esc = float(jnp.sum(o.tallies.fout) * self.cfg.run.energy_scale)
+        esc = float(jnp.sum(o.tallies.fout)) * self.scales.E
         alive = int(jnp.sum(s.photons.alive))
         return (
             f"cycle={int(s.ncycle)} t={float(s.time):.4e}s "
             f"dt={float(s.dt):.3e}s census={alive} "
-            f"E_in={float(o.bingo):.4e} E_esc={esc:.4e} "
+            f"E_in={float(o.bingo) * self.scales.E:.4e} E_esc={esc:.4e} "
             f"Te[0,0]={float(s.zones.tea[0, 0]):.2f}keV "
             f"dT_max={float(o.dT_max):.3f}"
         )
@@ -170,7 +372,7 @@ class Simulation:
         """E_add_up-style audit (update2d.f:1993-2078) in erg."""
         o = self.last_outputs
         t = o.tallies
-        scale = self.cfg.run.energy_scale
+        scale = self.scales.E
         census = float(jnp.sum(t.ecens)) * scale
         escaped = (
             float(
@@ -184,7 +386,7 @@ class Simulation:
         scatter_gain = float(t.e_scatter) * scale
         src_lost = float(t.e_src_lost) * scale
         absorbed = deposited - scatter_gain
-        e_in = float(o.bingo)
+        e_in = float(o.bingo) * scale
         # photon-side balance: (input - lost) + gain_from_electrons
         #   = census + escaped + absorbed + killed
         avail = e_in - src_lost + scatter_gain
@@ -208,6 +410,9 @@ def _step_impl(
     grid: Grid,
     tables: Tables,
     cfg: SimConfig,
+    scales: Scales,
+    axis_name: Optional[str] = None,
+    n_devices: int = 1,
 ) -> Tuple[SimState, StepOutputs]:
     g = cfg.grid
     phys = cfg.physics
@@ -215,13 +420,19 @@ def _step_impl(
     nz, nr = g.nz, g.nr
     zones = state.zones
     key = jax.random.fold_in(state.key, state.ncycle)
+    if axis_name is not None:
+        # independent stream per device (deterministic in device count)
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     k_src, k_trk = jax.random.split(key)
+
+    def psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
     # ---- 0. census replay: reset flight clocks (imcfield2d.f:117) ---
     photons = state.photons._replace(
         dcen=jnp.where(
             state.photons.alive,
-            (jnp.float64(cn.C_LIGHT) * state.dt).astype(jnp.float32),
+            jnp.float32(scales.c) * state.dt.astype(jnp.float32),
             0.0,
         )
     )
@@ -230,12 +441,11 @@ def _step_impl(
         jnp.clip(photons.jz, 0, nz - 1) * nr
         + jnp.clip(photons.kr, 0, nr - 1)
     )
-    ecens_prev = (
+    ecens_prev = psum(
         jnp.zeros((nz * nr,))
         .at[zid]
         .add(jnp.where(photons.alive, photons.w, 0.0))
         .reshape(nz, nr)
-        * run.energy_scale
     )
 
     # ---- 1. zone pass (imcgen2d): B, emissivities, budget -----------
@@ -249,16 +459,18 @@ def _step_impl(
     ve = volume_em(
         tables.e_ph, tables.gnt, zones.f_nt, zones.tea, zones.n_e, B,
         zones.amxwl, grid.vol, grid.zone_surf, l_min, state.dt,
-        tables.sync,
+        tables.sync, scales,
     )
 
+    nst_eff = cfg.source.nst * max(cfg.source.split, 1)
     budget = sourcing.compute_budget(
         src, ve.eloss_tot, ecens_prev, state.ed_abs,
         grid.area_lower, grid.area_upper, grid.area_inner,
         grid.area_outer,
-        state.dt, state.dt_prev, cfg.source.nst * max(cfg.source.split, 1),
-        cfg.source.bias_cap, run.energy_scale,
+        state.dt, state.dt_prev, max(nst_eff // n_devices, 1),
+        cfg.source.bias_cap, scales.sigma_sb,
         dh_sentinel=bool(phys.dh_sentinel),
+        replicas=n_devices,
     )
 
     # ---- 2. emit new photons ----------------------------------------
@@ -266,7 +478,7 @@ def _step_impl(
         photons, k_src, budget, src,
         grid.r_edges, grid.z_edges, grid.zone_surf,
         ve.eps_tot, ve.eps_th, ve.eloss_th, ve.eloss_tot,
-        tables.e_ph, state.dt, nz, nr,
+        tables.e_ph, state.dt, nz, nr, c_scaled=scales.c,
     )
 
     # ---- 3. tracking ------------------------------------------------
@@ -302,6 +514,7 @@ def _step_impl(
         tbbl_pos=src.tbb_lower > 0.0,
         time=state.time,
         dt=state.dt,
+        inv_c=jnp.float32(scales.inv_c),
     )
     st = TrackStatics(
         nz=nz, nr=nr,
@@ -324,7 +537,10 @@ def _step_impl(
     photons, tallies, events = transport_step(
         photons, tallies, events, k_trk, ctx, st
     )
-    tallies = census_tally(photons, tallies, ctx, st, run.energy_scale)
+    tallies = census_tally(photons, tallies, ctx, st)
+    # deterministic tally reduction over the photon-sharded mesh (the
+    # reference's MPI_REDUCE trees, xec2d.f:325-399)
+    tallies = psum(tallies)
 
     # ---- 4. FP electron update (update2d) ---------------------------
     do_fp = (not phys.t_const)
@@ -334,7 +550,7 @@ def _step_impl(
             zones, n_field_real, tables, grid.vol,
             float(cfg.grid.z_max), grid.dz,
             state.dt, state.time,
-            ve.eloss_sy * 1.0, phys,
+            ve.eloss_sy, phys, scales,
         )
         # only apply after the field is established (xec2d: update only
         # for ncycle > 0)

@@ -26,6 +26,7 @@ def small_corona(
     num_nt: int = 100,
     n_vol: int = 128,
     nphfield: int = 128,
+    mesh=None,
     **phys_kw,
 ) -> Simulation:
     """A small 2-D accreting-corona setup: hot thermal electron cloud
@@ -57,7 +58,7 @@ def small_corona(
         grid, tea=tea, tna=tea, n_e=n_e, B_field=10.0, amxwl=1.0,
         gmin=1e3, gmax=1e5, p_nth=2.5,
     )
-    return Simulation(cfg, zi)
+    return Simulation(cfg, zi, mesh=mesh)
 
 
 def blazar_jet(

@@ -49,7 +49,7 @@ def chang_cooper_coeffs(
     dgdt_p1 = jnp.roll(dgdt, -1, axis=-1)
     disp_p1 = jnp.roll(disp, -1, axis=-1)
     big_b = -(dgdt + dgdt_p1) / 2.0
-    big_c = jnp.maximum((disp + disp_p1) / 2.0, 1e-300)
+    big_c = jnp.maximum((disp + disp_p1) / 2.0, 1e-30)
     # the reference's index-1 seed lacks the 1/2 on B (update2d.f:1369)
     big_b = big_b.at[..., 0].set(-(dgdt[..., 0] + dgdt[..., 1]))
     smw = d_gp * big_b / big_c
@@ -96,7 +96,7 @@ def thomas_solve(
         a_i, b_i, c_im1, d_i = xs
         gam_i = c_im1 / bet
         bet_new = b_i - a_i * gam_i
-        bet_new = jnp.where(jnp.abs(bet_new) < 1e-100, 1e-100, bet_new)
+        bet_new = jnp.where(jnp.abs(bet_new) < 1e-30, 1e-30, bet_new)
         f_i = (d_i - a_i * f_prev) / bet_new
         return (bet_new, f_i), (f_i, gam_i)
 
@@ -106,7 +106,7 @@ def thomas_solve(
     dT = jnp.moveaxis(d, -1, 0)
     c_shift = jnp.concatenate([jnp.zeros_like(cT[:1]), cT[:-1]], axis=0)
 
-    bet0 = jnp.where(jnp.abs(bT[0]) < 1e-100, 1e-100, bT[0])
+    bet0 = jnp.where(jnp.abs(bT[0]) < 1e-30, 1e-30, bT[0])
     f0 = dT[0] / bet0
     (_, _), (fs, gams) = jax.lax.scan(
         fwd, (bet0, f0), (aT[1:], bT[1:], cT[:-1], dT[1:])

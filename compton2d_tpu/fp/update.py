@@ -35,6 +35,7 @@ from compton2d_tpu.fp.chang_cooper import chang_cooper_coeffs, thomas_solve
 from compton2d_tpu.physics import electron_dist as ed
 from compton2d_tpu.state import ZoneState
 from compton2d_tpu.tables import Tables
+from compton2d_tpu.units import Scales
 
 
 class FPResult(NamedTuple):
@@ -48,19 +49,26 @@ class FPResult(NamedTuple):
 
 def fp_step(
     zones: ZoneState,
-    n_field: jnp.ndarray,      # (nz, nr, nphfield) tallied photon counts
+    n_field: jnp.ndarray,      # (nz, nr, nphfield) scaled field tally
+                               # (sum of w_scaled / E_keV per bin)
     tables: Tables,
-    vol: jnp.ndarray,          # (nz, nr)
-    z_max: float,
-    dz: jnp.ndarray,
+    vol: jnp.ndarray,          # (nz, nr) [L^3] scaled volumes
+    z_max: float,              # [cm] physical domain height
+    dz: jnp.ndarray,           # [L] scaled z spacing (shock front)
     dt: jnp.ndarray,           # () current MC step [s]
     time: jnp.ndarray,         # () [s]
-    eloss_sy: jnp.ndarray,     # (nz, nr) [erg] per step (for hr_th_sy)
+    eloss_sy: jnp.ndarray,     # (nz, nr) [E] per step (for hr_th_sy)
     phys: PhysicsConfig,
+    scales: Scales = None,
 ) -> FPResult:
+    """All energies scaled by scales.E, volumes by scales.L^3; heating
+    rates hr_* are in E/s. Rates (1/s) need no scaling."""
+    if scales is None:
+        scales = Scales(L=1.0, E=1.0)
     nz, nr, num_nt = zones.f_nt.shape
     Z = nz * nr
-    gnt = tables.gnt
+    f32 = jnp.float32
+    gnt = tables.gnt.astype(f32)
     gamma = gnt + 1.0
     dg = jnp.diff(gnt)
     wdg = jnp.concatenate([dg, dg[-1:] * 0.0])
@@ -68,32 +76,43 @@ def fp_step(
     t_esc = phys.r_esc * z_max / cn.C_LIGHT
     t_acc = phys.r_acc * z_max / cn.C_LIGHT
 
+    # host-folded constants (see compton2d_tpu.units)
+    k_mec2_vol = scales.mec2_vol             # mec2 L^3 / E
+    k_dgic = scales.nfield_to_dgic           # E * 6.25e8 / L^3
+    # dT[keV] = k_dT * dt * hr_scaled / (vol_s * n_lept)
+    k_dT = 6.25e8 * scales.E / (1.5 * scales.L3)
+    # Coulomb heating fold: hr_coul_s = k_coul*(vol_s n_lept) n_p ...
+    k_coul = 1.5 * 1.7386e-26 * scales.L3 / scales.E
+
     # ---- flatten zones ------------------------------------------------
-    f_old = zones.f_nt.reshape(Z, num_nt)
-    sum_p = jnp.maximum(jnp.sum(f_old * wdg, axis=-1, keepdims=True), 1e-300)
+    f_old = zones.f_nt.reshape(Z, num_nt).astype(f32)
+    sum_p = jnp.maximum(jnp.sum(f_old * wdg, axis=-1, keepdims=True), 1e-30)
     f_old = f_old / sum_p
-    n_p = zones.n_e.reshape(Z)
-    f_pair = zones.f_pair.reshape(Z)
+    n_p = zones.n_e.reshape(Z).astype(f32)
+    f_pair = zones.f_pair.reshape(Z).astype(f32)
     ne = n_p * (1.0 + f_pair)
     n_lept = ne + n_p * f_pair
-    volume = vol.reshape(Z)
-    B = jnp.maximum(zones.B_field.reshape(Z), 1e-20)
-    tea0 = zones.tea.reshape(Z)
-    tna = zones.tna.reshape(Z)
-    turb = zones.turb_lev.reshape(Z)
+    volume = vol.reshape(Z).astype(f32)
+    B = jnp.maximum(zones.B_field.reshape(Z).astype(f32), 1e-20)
+    tea0 = zones.tea.reshape(Z).astype(f32)
+    tna = zones.tna.reshape(Z).astype(f32)
+    turb = zones.turb_lev.reshape(Z).astype(f32)
 
-    # electron energy audit (update2d.f:482-497)
+    # electron energy audit (update2d.f:482-497), scaled energies
     def e_tot(f, nloc):
-        return jnp.sum(f * gamma * wdg, axis=-1) * nloc * cn.MEC2_ERG * volume
+        return (
+            jnp.sum(f * gamma * wdg, axis=-1)
+            * (nloc * (k_mec2_vol * volume))
+        )
 
     e_el_old = jnp.sum(e_tot(f_old, ne))
 
     # ---- static drift pieces -----------------------------------------
     # IC drift: (Z, nph) @ (nph, num_nt) on the MXU (update2d.f:568-574)
-    nf = n_field.reshape(Z, -1)
-    dg_ic = -(nf @ tables.f_ic.T) / volume[:, None]    # (Z, num_nt)
+    nf = n_field.reshape(Z, -1).astype(f32)
+    dg_ic = -(nf @ tables.f_ic.T) * (k_dgic / volume[:, None])
 
-    f_sy = 1.058e-15 * B * B / cn.MEC2_ERG             # (Z,)
+    f_sy = 1.058e-15 * B * B / cn.MEC2_ERG             # (Z,) 1/s
     dg_A = gamma[None, :] / t_acc
     disp_A = gamma[None, :] ** 2 / (2.0 * t_acc)
 
@@ -101,8 +120,6 @@ def fp_step(
     # driver as a time/space Gaussian added to turb_lev before calling in
     tlev = turb
 
-    # Coulomb heating (update2d.f:600-606) for the substep estimate
-    f_th = 1.5 * volume * n_lept
     th_p = tna / 9.382e5
     lnL = phys.lnL
 
@@ -112,12 +129,16 @@ def fp_step(
     def cool_heat_rates(f, th_e, te):
         g_av = tables.gamma_bar.forward(jnp.maximum(th_e, 1e-6))
         gamma_R = 2.1e-3 * jnp.sqrt(n_lept) / (B * jnp.sqrt(g_av))
+        # hr_th_c [E/s]: sum(dg_ic f dg) * mec2 * vol_cm * n_lept / E
         hr_th_c = -jnp.sum(
             dg_ic * f * wdg, axis=-1
-        ) * cn.MEC2_ERG * volume * n_lept
+        ) * ((k_mec2_vol * volume) * n_lept)
         y = gamma_R / g_av
         hr_th_sy = jnp.where(
-            y < 100.0, -eloss_sy.reshape(Z) / (dt * jnp.exp(y)), 0.0
+            y < 90.0,
+            -eloss_sy.reshape(Z).astype(f32)
+            / (dt.astype(f32) * jnp.exp(jnp.minimum(y, 90.0))),
+            0.0,
         )
         h_T = 0.79788 * (
             2.0 * (th_e + th_p) ** 2 + 2.0 * (th_e + th_p) + 1.0
@@ -125,17 +146,21 @@ def fp_step(
             (jnp.maximum(th_e + th_p, 1e-12)) ** 1.5
             * (1.0 + 1.875 * th_e + 0.8203 * th_e**2)
         )
-        hr_th_coul = f_th * 1.7386e-26 * n_p * lnL * h_T * (tna - te)
-        hr_th_A = jnp.maximum(tlev * hr_th_coul, 1e-20)
+        hr_th_coul = (
+            (k_coul * n_p) * (volume * n_lept) * lnL * h_T * (tna - te)
+        )
+        hr_th_A = jnp.maximum(tlev * hr_th_coul, 1e-30)
         return hr_th_sy + hr_th_c + hr_th_A, gamma_R
 
     def body(carry):
         it, t_fp, f, th_e, npz, nlept_z, done = carry
-        te = th_e * cn.EMASS_KEV
+        te = th_e * jnp.float32(cn.EMASS_KEV)
         hr_total, gamma_R = cool_heat_rates(f, th_e, te)
 
         # substep size (update2d.f:662-666, 1142-1146)
-        dT_tot = 6.25e8 * dt * hr_total / f_th
+        dT_tot = (k_dT * dt.astype(f32)) * hr_total / jnp.maximum(
+            volume * n_lept, 1e-30
+        )
         f_imp = jnp.clip(
             cn.DF_IMPLICIT * te / jnp.maximum(jnp.abs(dT_tot), 1e-30),
             0.0, cn.DF_T,
@@ -154,11 +179,11 @@ def fp_step(
         ).at[-1].set(0.0)
         if inj.pickup:
             # constant pick-up, Gaussian profile (update2d.f:1229-1245)
-            psum = jnp.maximum(jnp.sum(gauss_prof * wdg), 1e-300)
+            psum = jnp.maximum(jnp.sum(gauss_prof * wdg), 1e-30)
             inj_rho = jnp.full((Z,), inj.pickup_rate) * d_t
             f_inj = f_inj + (
                 inj_rho[:, None] * gauss_prof[None, :] / psum
-                / jnp.maximum(ne, 1e-300)[:, None]
+                / jnp.maximum(ne, 1e-30)[:, None]
             )
             n_inject = n_inject + inj_rho
         if inj.switch != 0:
@@ -171,7 +196,7 @@ def fp_step(
                     gamma ** (-inj.p) * jnp.exp(-jnp.minimum(yv, 100.0)),
                     0.0,
                 ).at[-1].set(0.0)
-            inj_sum = jnp.maximum(jnp.sum(prof * wdg), 1e-300)
+            inj_sum = jnp.maximum(jnp.sum(prof * wdg), 1e-30)
             inj_e_mean = jnp.sum(prof * gamma * wdg) / inj_sum
             # shock front crosses zone row j during
             # (time-t0) in [dz/v*(j-1), dz/v*j] (update2d.f:1251-1253)
@@ -181,15 +206,15 @@ def fp_step(
                 (tt > dz / inj.v * jidx) & (tt < dz / inj.v * (jidx + 1))
             ).reshape(Z)
             # injection normalized to the swept z-slab volume
-            # pi r_max^2 dz (update2d.f:1286)
+            # pi r_max^2 dz (update2d.f:1286); luminosity folded with
+            # L^3 host-side to stay in f32 range
             slab_vol = jnp.sum(volume) / nz
-            inj_rate = inj.luminosity / jnp.maximum(
-                8.186e-7 * inj_e_mean * slab_vol, 1e-300
-            )
+            lum_fold = float(inj.luminosity) / (8.186e-7 * scales.L3)
+            inj_rate = lum_fold / jnp.maximum(inj_e_mean * slab_vol, 1e-30)
             inj_rho = jnp.where(active, inj_rate * d_t, 0.0)
             f_inj = f_inj + (
                 inj_rho[:, None] * prof[None, :] / inj_sum
-                / jnp.maximum(ne, 1e-300)[:, None]
+                / jnp.maximum(ne, 1e-30)[:, None]
             )
             n_inject = n_inject + inj_rho
         npz = npz + n_inject
@@ -219,7 +244,7 @@ def fp_step(
         f_new = thomas_solve(a, b, c, f_inj)
         f_new = f_new.at[..., 0].set(0.0).at[..., -1].set(0.0)
 
-        s = jnp.maximum(jnp.sum(f_new * wdg, axis=-1, keepdims=True), 1e-300)
+        s = jnp.maximum(jnp.sum(f_new * wdg, axis=-1, keepdims=True), 1e-30)
         f_new = f_new / s
 
         # ---- temperature from <gamma> (update2d.f:1440-1468) -------
@@ -300,6 +325,6 @@ def _coulomb_drift(gamma, tna, n_p, lnL):
         * jnp.sqrt(jnp.maximum(th_p, 1e-12))[:, None]
         * gamma[None, :] ** 2 * beta[None, :]
     )
-    dg_cp = -pref / jnp.maximum(denom, 1e-300) * (gamma[None, :] - 1.0)
+    dg_cp = -pref / jnp.maximum(denom, 1e-30) * (gamma[None, :] - 1.0)
     disp_cp = jnp.abs(dg_cp) * jnp.maximum(th_p, 1e-12)[:, None]
     return dg_cp, disp_cp

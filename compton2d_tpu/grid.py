@@ -55,11 +55,16 @@ class Grid(NamedTuple):
         return self.z_edges[-1]
 
 
-def make_grid(cfg: GridConfig) -> Grid:
-    """Build the uniform grid (setup2d.f:60-114)."""
+def make_grid(cfg: GridConfig, length_scale: float = 1.0) -> Grid:
+    """Build the uniform grid (setup2d.f:60-114).
+
+    ``length_scale`` [cm] divides all lengths (f32-safe scaled units,
+    see compton2d_tpu.units): volumes come out in L^3, areas in L^2.
+    """
     nz, nr = cfg.nz, cfg.nr
-    z_edges = np.linspace(0.0, cfg.z_max, nz + 1)
-    r_edges = np.linspace(cfg.r_min, cfg.r_max, nr + 1)
+    L = float(length_scale)
+    z_edges = np.linspace(0.0, cfg.z_max / L, nz + 1)
+    r_edges = np.linspace(cfg.r_min / L, cfg.r_max / L, nr + 1)
 
     dz = z_edges[1:] - z_edges[:-1]              # (nz,)
     r_lo, r_hi = r_edges[:-1], r_edges[1:]       # (nr,)
@@ -92,8 +97,12 @@ def make_grid(cfg: GridConfig) -> Grid:
     )
 
 
-def initial_dt(grid: Grid, mcdt: float, inj_v: float = cn.C_LIGHT) -> float:
+def initial_dt(
+    grid: Grid, mcdt: float, inj_v: float = cn.C_LIGHT,
+    length_scale: float = 1.0,
+) -> float:
     """Initial time step dt = mcdt * min(r_max/nr, z_max/nz) / v
-    (setup2d.f:50-51)."""
+    (setup2d.f:50-51). ``length_scale`` converts the (scaled) grid back
+    to cm."""
     dist = float(min(grid.r_max / grid.nr, grid.z_max / grid.nz))
-    return float(mcdt) * dist / float(inj_v)
+    return float(mcdt) * dist * float(length_scale) / float(inj_v)

@@ -60,7 +60,7 @@ def init_f_nt(
 
     th = maxwell_juttner_shape(gnt, theta)            # (nz, nr, num_nt)
     th = jnp.where(g < gmin[..., None], th, 0.0)
-    th_norm = jnp.maximum(jnp.sum(th * w, axis=-1, keepdims=True), 1e-300)
+    th_norm = jnp.maximum(jnp.sum(th * w, axis=-1, keepdims=True), 1e-30)
     th = th / th_norm
 
     p1 = 1.0 - p_nth[..., None]
@@ -76,7 +76,7 @@ def init_f_nt(
     f = jnp.where(a > 1e-4, a * th, 0.0) + jnp.where(
         a < 0.99999999, (1.0 - a) * pl, 0.0
     )
-    norm = jnp.maximum(jnp.sum(f * w, axis=-1, keepdims=True), 1e-300)
+    norm = jnp.maximum(jnp.sum(f * w, axis=-1, keepdims=True), 1e-30)
     return f / norm
 
 
@@ -86,7 +86,7 @@ def build_cdf(f_nt: jnp.ndarray, gnt: jnp.ndarray) -> jnp.ndarray:
     dg = jnp.diff(gnt)
     contrib = f_nt[..., :-1] * dg
     cdf = jnp.cumsum(contrib, axis=-1)
-    total = jnp.maximum(cdf[..., -1:], 1e-300)
+    total = jnp.maximum(cdf[..., -1:], 1e-30)
     cdf = cdf / total
     return jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
 
@@ -143,7 +143,7 @@ def gamma_bar_np(theta: np.ndarray) -> np.ndarray:
     k2 = _mcdonald_np(2.0, 1.0 / np.maximum(theta, 1e-10))
     k3 = _mcdonald_np(3.0, 1.0 / np.maximum(theta, 1e-10))
     with np.errstate(invalid="ignore", divide="ignore"):
-        exact = k3 / np.maximum(k2, 1e-300) - theta
+        exact = k3 / np.maximum(k2, 1e-30) - theta
     out = np.where(theta < 0.2, fit, exact)
     return np.maximum(out, 1.0)
 

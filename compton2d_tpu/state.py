@@ -11,7 +11,7 @@ Replaces the reference's single global COMMON block
 - :class:`SimState`   — everything a step consumes/produces.
 
 All photon fields are float32 (energy weights in units of
-``RunConfig.energy_scale`` erg); zone physics fields are float64.
+``RunConfig.energy_scale`` erg); zone physics fields are float32 too (see compton2d_tpu.units).
 """
 from __future__ import annotations
 
@@ -85,7 +85,7 @@ class PhotonArray(NamedTuple):
 
 
 class Tallies(NamedTuple):
-    """Per-step MC tallies (float64 accumulators; commonblock.f:47-52,
+    """Per-step MC tallies (f32 accumulators, scaled units; commonblock.f:47-52,
     70-78, 108-109)."""
 
     edep: jnp.ndarray      # (nz, nr) absorbed+exchanged energy [erg]
@@ -133,13 +133,14 @@ class EventBuffer(NamedTuple):
     t_bound, xnu, ew, rpre, zpre, wmu, phi)."""
 
     data: jnp.ndarray     # (capacity, 7) float32
-    count: jnp.ndarray    # () int32 — records written (may exceed capacity)
+    count: jnp.ndarray    # (1,) int32 — records written (may exceed
+                          # capacity; shape (1,) so it shards per device)
 
     @classmethod
     def empty(cls, capacity: int) -> "EventBuffer":
         return cls(
             data=jnp.zeros((capacity, 7), jnp.float32),
-            count=jnp.zeros((), jnp.int32),
+            count=jnp.zeros((1,), jnp.int32),
         )
 
 
@@ -166,7 +167,7 @@ def init_zone_state(cfg: SimConfig, zone_init, tables) -> ZoneState:
     (setup2d.f:122-139)."""
     from compton2d_tpu.physics import electron_dist as ed
 
-    f = lambda a: jnp.asarray(a, jnp.float64)
+    f = lambda a: jnp.asarray(a, jnp.float32)
     tea = f(zone_init.tea)
     amxwl = f(zone_init.amxwl)
     gmin = f(zone_init.gmin)

@@ -85,7 +85,11 @@ def e_gg_grid(n: int = cn.N_GG) -> np.ndarray:
     return cn.EGG_MIN_KEV * de ** np.arange(n)
 
 
-def build_tables(grid_cfg: GridConfig) -> Tables:
+def build_tables(grid_cfg: GridConfig, length_scale: float = 1.0) -> Tables:
+    """All tables are built host-side in float64 numpy and stored as f32
+    device constants. ``sigma_e`` is pre-multiplied by ``length_scale``
+    so the per-zone opacity contraction directly yields 1/L units
+    (f32-friendly magnitudes)."""
     gnt = jnp.asarray(gnt_grid(grid_cfg.num_nt))
     # E_ph and E_field share the same construction in the reference
     # (volume2d.f:104 / setup2d.f:216-222) but E_ph starts one ratio up
@@ -99,10 +103,17 @@ def build_tables(grid_cfg: GridConfig) -> Tables:
     mu_edges = jnp.asarray(grid_cfg.mu_edges())
     lc = np.asarray(grid_cfg.lc_bands, dtype=np.float64).reshape(-1, 2)
 
-    sigma_tab = compton.sigma_e_table(e_ph, gnt)
-    f_ic = icloss.fic_table(gnt, e_field)
-    p_ref = jnp.asarray(reflection.pref_matrix(grid_cfg.n_ref))
-    w_abs = jnp.asarray(reflection.wabs_matrix(grid_cfg.n_ref))
+    sigma_tab = jnp.asarray(
+        compton.sigma_e_table(np.asarray(e_ph), np.asarray(gnt))
+        * float(length_scale),
+        jnp.float32,
+    )
+    f_ic = jnp.asarray(
+        icloss.fic_table(np.asarray(gnt), np.asarray(e_field)),
+        jnp.float32,
+    )
+    p_ref = jnp.asarray(reflection.pref_matrix(grid_cfg.n_ref), jnp.float32)
+    w_abs = jnp.asarray(reflection.wabs_matrix(grid_cfg.n_ref), jnp.float32)
 
     return Tables(
         gnt=gnt,

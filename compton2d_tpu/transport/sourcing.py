@@ -71,39 +71,49 @@ class SourceStatic(NamedTuple):
 
 def compute_budget(
     src: SourceStatic,
-    fas: jnp.ndarray,         # (nz, nr) volume emission per step [erg]
-    ecens: jnp.ndarray,       # (nz, nr) census energy [erg]
-    ed_abs: jnp.ndarray,      # (nr,) disk-absorbed energy [erg]
-    area_lower, area_upper, area_inner, area_outer,
+    fas: jnp.ndarray,         # (nz, nr) volume emission per step [E]
+    ecens: jnp.ndarray,       # (nz, nr) census energy [E]
+    ed_abs: jnp.ndarray,      # (nr,) disk-absorbed energy [E]
+    area_lower, area_upper, area_inner, area_outer,  # scaled areas [L^2]
     dt: jnp.ndarray,
     dt_prev: jnp.ndarray,
     nst: int,
     bias_cap: float,
-    energy_scale: float,
+    sigma_sb_scaled: float,   # sigma_SB * L^2 / E (Scales.sigma_sb)
     dh_sentinel: bool = False,
+    replicas: int = 1,
 ) -> SourceBudget:
     nz = area_inner.shape[0]
     nr = area_lower.shape[0]
+    f32 = jnp.float32
+    dt32 = dt.astype(f32)
 
     def erin_of(tbb, area):
-        bb = dt * area * cn.SIGMA_SB_KEV * jnp.maximum(tbb, 0.0) ** 4
-        file_in = dt * area * src.file_flux
+        tbb = tbb.astype(f32)
+        t4 = jnp.maximum(tbb, 0.0) ** 2
+        bb = (dt32 * sigma_sb_scaled) * area.astype(f32) * t4 * t4
+        file_in = dt32 * area.astype(f32) * src.file_flux.astype(f32)
         return jnp.where(tbb > 0.0, bb, jnp.where(tbb < 0.0, file_in, 0.0))
 
     erin_l = erin_of(src.tbb_lower, area_lower)
     if dh_sentinel:
         # disk re-heating by absorbed flux (imcgen2d.f:178-183)
         erin_l = erin_l + jnp.where(
-            src.tbb_lower > 1e-20, ed_abs * dt / jnp.maximum(dt_prev, 1e-30),
+            src.tbb_lower > 1e-20,
+            ed_abs.astype(f32) * dt32
+            / jnp.maximum(dt_prev.astype(f32), 1e-30),
             0.0,
         )
-    erin_u = erin_of(src.tbb_upper, area_upper) * src.star_dilution
+    erin_u = erin_of(src.tbb_upper, area_upper) * src.star_dilution.astype(
+        f32
+    )
     erin_i = erin_of(src.tbb_inner, area_inner)
     erin_o = erin_of(src.tbb_outer, area_outer)
 
-    emiss_tot = jnp.maximum(jnp.sum(fas), 1e-300)
+    fas = fas.astype(f32)
+    emiss_tot = jnp.maximum(jnp.sum(fas), 1e-30)
     bingo = (
-        jnp.sum(ecens) + jnp.sum(fas)
+        jnp.sum(ecens.astype(f32)) + jnp.sum(fas)
         + jnp.sum(erin_i) + jnp.sum(erin_o)
         + jnp.sum(erin_l) + jnp.sum(erin_u)
     )
@@ -130,8 +140,13 @@ def compute_budget(
     energies = jnp.concatenate(
         [fas.reshape(-1), erin_l, erin_u, erin_i, erin_o]
     )
+    # under a device mesh every device runs this same budget with the
+    # per-device nst; weights divide by the GLOBAL photon count so the
+    # summed emission matches the energy budget
     weights = jnp.where(
-        counts > 0, energies / jnp.maximum(counts, 1) / energy_scale, 0.0
+        counts > 0,
+        energies.astype(f32) / jnp.maximum(counts * replicas, 1),
+        0.0,
     ).astype(jnp.float32)
 
     return SourceBudget(
@@ -160,6 +175,7 @@ def emit(
     e_ph: jnp.ndarray,             # (n_vol,)
     dt: jnp.ndarray,
     nz: int, nr: int,
+    c_scaled: float = cn.C_LIGHT,  # speed of light [L/s]
     beam_mu: float = 0.99999999,
 ) -> PhotonArray:
     """Fill free slots with freshly emitted photons."""
@@ -214,7 +230,7 @@ def emit(
     z_unif = z_bot + u[1] * (z_top - z_bot)
 
     # volume: thermal face split (vol_calc, imcvol2d_para.f:120-160)
-    f_th = (eloss_th / jnp.maximum(eloss_tot, 1e-300)).reshape(-1)[
+    f_th = (eloss_th / jnp.maximum(eloss_tot, 1e-30)).reshape(-1)[
         jnp.clip(cat, 0, nzr - 1)
     ].astype(jnp.float32)
     thermal = is_vol & (u[2] < f_th)
@@ -325,7 +341,7 @@ def emit(
     e_new = jnp.where(is_vol, e_v, e_b)
 
     w_new = budget.weights[cat]
-    dcen_new = (u[11] * jnp.float32(cn.C_LIGHT)) * dt.astype(jnp.float32)
+    dcen_new = (u[11] * jnp.float32(c_scaled)) * dt.astype(jnp.float32)
 
     # source energy lost when free slots run out (the reference instead
     # hard-stops at census overflow, imctrk2d.f:573-577)

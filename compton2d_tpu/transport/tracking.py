@@ -84,8 +84,9 @@ class TrackContext(NamedTuple):
     p_ref_t: jnp.ndarray       # (n_ref_in, n_ref_out) = P_ref transposed
     w_abs_t: jnp.ndarray       # (n_ref_in, n_ref_out)
     tbbl_pos: jnp.ndarray      # (nr,) bool: lower bnd thermal this window
-    time: jnp.ndarray          # () f64 [s]
-    dt: jnp.ndarray            # () f64 [s]
+    time: jnp.ndarray          # () f32 [s]
+    dt: jnp.ndarray            # () f32 [s]
+    inv_c: jnp.ndarray         # () f32 seconds per scaled length (L/c)
 
 
 def _loggrid_interp(table, zid, e, log0, dlog):
@@ -413,9 +414,11 @@ def _leak(ph, tl, ev, mask, g, ctx, st, k1, k2):
     record = (at_outer | esc_lower | esc_upper) & ~(
         esc_upper & (ph.mu >= st.upper_escape_mu_cut)
     )
+    # time of flight remaining: dcen [L] * (L/c) [s/L] (imcleak2d.f:203)
     t_bound = (
-        ctx.time + ctx.dt - jnp.float64(cn.RAD_CP) * ph.dcen
-    ).astype(jnp.float32)
+        ctx.time.astype(jnp.float32) + ctx.dt.astype(jnp.float32)
+        - ctx.inv_c * ph.dcen
+    )
 
     sp = spectral_bin(ctx.hu, ph.e)
     lc = lc_bin(ctx.lc_lo, ctx.lc_hi, ph.e)
@@ -457,10 +460,14 @@ def census_tally(
     tallies: Tallies,
     ctx: TrackContext,
     st: TrackStatics,
-    energy_scale: float,
 ) -> Tallies:
     """Census tallies over the surviving photon population
-    (imctrk2d.f:528-556), one vectorized pass after tracking."""
+    (imctrk2d.f:528-556), one vectorized pass after tracking.
+
+    The radiation-field tallies are stored *scaled*:
+    n_field = sum(w_scaled / E_keV); the FP solve converts to absolute
+    photon counts with Scales.nfield_to_dgic (the reference stores
+    6.25e8 * ew / xnu directly, imctrk2d.f:555)."""
     alive = photons.alive
     zid = (
         jnp.clip(photons.jz, 0, st.nz - 1) * st.nr
@@ -474,13 +481,8 @@ def census_tally(
         jnp.where(alive, 1.0, 0.0), mode="drop"
     )
 
-    # photon-number field for IC losses (imctrk2d.f:547-556):
-    # count = 6.25e8 * ew[erg] / E[keV]
     counts = jnp.where(
-        alive,
-        cn.PHOTONS_PER_ERG_KEV * w.astype(jnp.float64) * energy_scale
-        / jnp.maximum(photons.e.astype(jnp.float64), 1e-30),
-        0.0,
+        alive, w / jnp.maximum(photons.e, 1e-30), 0.0
     )
     nphf = tallies.n_field.shape[-1]
     xf = (

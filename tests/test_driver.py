@@ -1,0 +1,109 @@
+"""End-to-end driver tests on CPU: energy conservation, determinism,
+and multi-device equivalence on the virtual 8-device mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compton2d_tpu.examples import small_corona
+
+
+def _tiny(t_const=True, seed=0, mesh=None, n_slots=2048):
+    return small_corona(
+        nz=3, nr=2, nst=500, n_slots=n_slots, num_nt=50,
+        n_vol=48, nphfield=48, t_const=t_const, seed=seed, mesh=mesh,
+    )
+
+
+def test_energy_conservation_per_step():
+    sim = _tiny()
+    for _ in range(3):
+        sim.step()
+        a = sim.energy_audit()
+        assert np.isclose(a["balance"], 1.0, atol=1e-4), a
+
+
+def test_determinism_same_seed():
+    s1 = _tiny(seed=7)
+    s2 = _tiny(seed=7)
+    for _ in range(2):
+        o1 = s1.step()
+        o2 = s2.step()
+    assert np.array_equal(
+        np.asarray(o1.tallies.ecens), np.asarray(o2.tallies.ecens)
+    )
+    assert np.array_equal(
+        np.asarray(s1.state.photons.w), np.asarray(s2.state.photons.w)
+    )
+
+
+def test_different_seed_differs():
+    o1 = _tiny(seed=1).step()
+    o2 = _tiny(seed=2).step()
+    assert not np.array_equal(
+        np.asarray(o1.tallies.ecens), np.asarray(o2.tallies.ecens)
+    )
+
+
+def test_fp_cools_hot_electrons():
+    """With an intense soft radiation field, FP must cool the electrons
+    (Compton cooling dominates)."""
+    sim = _tiny(t_const=False, n_slots=4096)
+    t0 = float(sim.state.zones.tea[0, 0])
+    for _ in range(3):
+        sim.step()
+    t1 = float(sim.state.zones.tea[0, 0])
+    assert t1 < t0
+    assert np.isfinite(t1)
+
+
+def test_escaping_spectrum_nonempty():
+    sim = _tiny()
+    sim.step()
+    sim.step()
+    out = sim.last_outputs
+    assert float(jnp.sum(out.tallies.fout)) > 0
+    assert int(out.events.count.sum()) > 0
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_sharded_step_runs_and_conserves(ndev):
+    from compton2d_tpu.parallel.mesh import make_photon_mesh
+
+    mesh = make_photon_mesh(jax.devices()[:ndev])
+    sim = _tiny(mesh=mesh, n_slots=2048)
+    for _ in range(2):
+        sim.step()
+        a = sim.energy_audit()
+        assert np.isclose(a["balance"], 1.0, atol=1e-4), a
+    assert int(jnp.sum(sim.state.photons.alive)) > 0
+
+
+def test_sharded_self_determinism():
+    from compton2d_tpu.parallel.mesh import make_photon_mesh
+
+    mesh = make_photon_mesh(jax.devices()[:4])
+    s1 = _tiny(seed=3, mesh=mesh)
+    s2 = _tiny(seed=3, mesh=mesh)
+    o1 = s1.step()
+    o2 = s2.step()
+    assert np.array_equal(
+        np.asarray(o1.tallies.ecens), np.asarray(o2.tallies.ecens)
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from compton2d_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    sim = _tiny(seed=5)
+    sim.step()
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, sim.state, {"ncycle": int(sim.state.ncycle)})
+    sim2 = _tiny(seed=5)
+    sim2.state = load_checkpoint(path, sim2.state)
+    # both advance one more step identically
+    o1 = sim.step()
+    o2 = sim2.step()
+    assert np.array_equal(
+        np.asarray(o1.tallies.ecens), np.asarray(o2.tallies.ecens)
+    )

@@ -1,0 +1,75 @@
+"""Fokker-Planck solver tests: Thomas vs dense solve, cooling advection,
+acceleration balance."""
+import jax.numpy as jnp
+import numpy as np
+
+from compton2d_tpu.fp.chang_cooper import chang_cooper_coeffs, thomas_solve
+from compton2d_tpu.physics.electron_dist import gnt_grid
+
+
+def test_thomas_matches_dense():
+    rng = np.random.default_rng(3)
+    Z, N = 4, 30
+    a = rng.random((Z, N)) * 0.1
+    b = 1.0 + rng.random((Z, N))
+    c = rng.random((Z, N)) * 0.1
+    a[:, 0] = 0.0
+    c[:, -1] = 0.0
+    d = rng.random((Z, N))
+    got = np.asarray(
+        thomas_solve(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d),
+            clamp_negative=False,
+        )
+    )
+    for z in range(Z):
+        M = np.diag(b[z]) + np.diag(a[z][1:], -1) + np.diag(c[z][:-1], 1)
+        want = np.linalg.solve(M, d[z])
+        assert np.allclose(got[z], want, rtol=2e-4, atol=1e-6), z
+
+
+def test_cooling_moves_distribution_down():
+    """Pure synchrotron-like cooling drift: mean gamma must decrease."""
+    gnt = jnp.asarray(gnt_grid(100))
+    gamma = gnt + 1.0
+    dg = jnp.diff(gnt)
+    w = jnp.concatenate([dg, dg[-1:] * 0.0])
+    # initial bump at gamma ~ 100
+    f0 = jnp.exp(-0.5 * ((jnp.log(gamma) - np.log(100.0)) / 0.3) ** 2)
+    f0 = f0 / jnp.sum(f0 * w)
+    k_cool = 1e-4
+    dgdt = -k_cool * (gamma**2 - 1.0)
+    disp = 1e-12 * gamma**2  # tiny dispersion for CC weights
+    d_t = jnp.asarray([50.0])
+    a, b, c = chang_cooper_coeffs(
+        gnt, dgdt[None, :], disp[None, :], d_t, 1e30
+    )
+    f1 = thomas_solve(a, b, c, f0[None, :])[0]
+    f1 = f1 / jnp.maximum(jnp.sum(f1 * w), 1e-300)
+    g0 = float(jnp.sum(gamma * f0 * w))
+    g1 = float(jnp.sum(gamma * f1 * w))
+    assert g1 < g0
+    # cooling rate roughly dgamma/dt = -k gamma^2:
+    # after dt: 1/g1 - 1/g0 ~ k*dt
+    assert np.isclose(1 / g1 - 1 / g0, k_cool * 50.0, rtol=0.35)
+
+
+def test_acceleration_pushes_distribution_up():
+    gnt = jnp.asarray(gnt_grid(100))
+    gamma = gnt + 1.0
+    dg = jnp.diff(gnt)
+    w = jnp.concatenate([dg, dg[-1:] * 0.0])
+    f0 = jnp.exp(-0.5 * ((jnp.log(gamma) - np.log(10.0)) / 0.3) ** 2)
+    f0 = f0 / jnp.sum(f0 * w)
+    t_acc = 1000.0
+    dgdt = gamma / t_acc
+    disp = gamma**2 / (2 * t_acc)
+    d_t = jnp.asarray([100.0])
+    a, b, c = chang_cooper_coeffs(
+        gnt, dgdt[None, :], disp[None, :], d_t, 1e30
+    )
+    f1 = thomas_solve(a, b, c, f0[None, :])[0]
+    f1 = f1 / jnp.maximum(jnp.sum(f1 * w), 1e-300)
+    g0 = float(jnp.sum(gamma * f0 * w))
+    g1 = float(jnp.sum(gamma * f1 * w))
+    assert g1 > g0
