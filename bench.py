@@ -51,16 +51,8 @@ def main():
     jax.block_until_ready(sim.state.photons.alive)
     t0 = time.time()
     for _ in range(steps):
-        alive_before = int(sim.state.photons.alive.sum())
         out = sim.step()
-        n_new = int(out.tallies.npcen.sum()) - 0  # census count proxy
-        # histories processed this step = photons tracked =
-        # census replays + fresh emissions; measure via alive_before +
-        # emitted (emitted = budget n_new; approximate by counting slots
-        # that died or were created)
-        histories += alive_before
-        histories += int(sim.state.photons.alive.sum()) - alive_before \
-            + int(out.events.count.sum())
+        histories += int(out.n_tracked)
     jax.block_until_ready(sim.state.photons.alive)
     dt_s = time.time() - t0
 

@@ -42,7 +42,7 @@ from compton2d_tpu.state import (
     ZoneState,
     init_zone_state,
 )
-from compton2d_tpu.tables import Tables, build_tables
+from compton2d_tpu.tables import Tables, build_pair_tables, build_tables
 from compton2d_tpu.transport import sourcing
 from compton2d_tpu.transport.tracking import (
     TrackContext,
@@ -63,6 +63,7 @@ class StepOutputs(NamedTuple):
     e_el_new: jnp.ndarray
     dT_max: jnp.ndarray
     fp_substeps: jnp.ndarray
+    n_tracked: jnp.ndarray    # () photons tracked this step (histories)
 
 
 def _source_static(cfg: SimConfig, window) -> sourcing.SourceStatic:
@@ -196,12 +197,19 @@ class Simulation:
                 cfg, cfg.windows[0] if cfg.windows else None
             )
         )
+        self.pair_tables = (
+            build_pair_tables(cfg.grid, self.scales.L)
+            if cfg.physics.pair_switch
+            else None
+        )
+        pair_tables = self.pair_tables
         self.mesh = mesh
         scales = self.scales
         if mesh is None:
             self._step_jit = jax.jit(
                 lambda s, src, grid, tab: _step_impl(
-                    s, src, grid, tab, cfg, scales
+                    s, src, grid, tab, cfg, scales,
+                    pair_tables=pair_tables,
                 )
             )
         else:
@@ -227,6 +235,7 @@ class Simulation:
                 e_el_new=jnp.zeros(()),
                 dT_max=jnp.zeros(()),
                 fp_substeps=jnp.zeros((), jnp.int32),
+                n_tracked=jnp.zeros((), jnp.int32),
             )
             out_specs = (
                 pmesh.simstate_specs(self.state),
@@ -236,7 +245,7 @@ class Simulation:
                         f: pmesh.replicated_specs(getattr(dummy_out, f))
                         for f in (
                             "tallies", "bingo", "e_el_old", "e_el_new",
-                            "dT_max", "fp_substeps",
+                            "dT_max", "fp_substeps", "n_tracked",
                         )
                     },
                 ),
@@ -251,6 +260,7 @@ class Simulation:
                 lambda s, src, grid, tab: _step_impl(
                     s, src, grid, tab, cfg, scales,
                     axis_name=pmesh.AXIS, n_devices=ndev,
+                    pair_tables=pair_tables,
                 ),
                 mesh=mesh,
                 in_specs=in_specs,
@@ -413,6 +423,7 @@ def _step_impl(
     scales: Scales,
     axis_name: Optional[str] = None,
     n_devices: int = 1,
+    pair_tables=None,
 ) -> Tuple[SimState, StepOutputs]:
     g = cfg.grid
     phys = cfg.physics
@@ -472,6 +483,62 @@ def _step_impl(
         dh_sentinel=bool(phys.dh_sentinel),
         replicas=n_devices,
     )
+
+    # ---- 1b. pair physics from the previous census field ------------
+    # (imcgen2d.f:354-396: normalize n_ph, smooth, kgg_calc, pairprod)
+    if phys.pair_switch and pair_tables is not None:
+        from compton2d_tpu.physics import pairs as pair_mod
+
+        ngg = g.n_gg
+        egg32 = tables.e_gg.astype(jnp.float32)
+        xg = (
+            jnp.log(jnp.maximum(photons.e, 1e-30))
+            - jnp.log(tables.e_gg[0]).astype(jnp.float32)
+        ) / jnp.log(tables.e_gg[1] / tables.e_gg[0]).astype(jnp.float32)
+        gbin = jnp.clip(jnp.floor(xg).astype(jnp.int32), 0, ngg - 1)
+        in_gg = photons.e > (
+            tables.e_gg[0] ** 2 / tables.e_gg[1]
+        ).astype(jnp.float32)
+        cnts = jnp.where(
+            photons.alive & in_gg,
+            photons.w / jnp.maximum(photons.e, 1e-30),
+            0.0,
+        )
+        nph_scaled = psum(
+            jnp.zeros((nz * nr, ngg))
+            .at[zid, gbin]
+            .add(cnts, mode="drop")
+        )
+        de_gg = jnp.concatenate(
+            [jnp.diff(egg32), jnp.ones((1,), jnp.float32)]
+        )
+        k_nph = jnp.float32(scales.nfield_to_dgic)
+        nph_phys = (
+            nph_scaled * k_nph
+            / grid.vol.reshape(-1, 1).astype(jnp.float32)
+            / de_gg[None, :]
+        )
+        nph_phys = pair_mod.nph_smooth(
+            nph_phys, egg32, zones.tea.reshape(-1).astype(jnp.float32)
+        )
+        k_gg_new = (nph_phys @ pair_tables.kgg_mat.T).reshape(
+            nz, nr, ngg
+        )
+        dn_pp_new = pair_mod.dn_pp_from_field(
+            nph_phys, pair_tables.pp_tensor
+        ).reshape(nz, nr, -1)
+        f_flat = zones.f_nt.reshape(nz * nr, -1).astype(jnp.float32)
+        npos_flat = zones.n_pos.reshape(nz * nr, -1).astype(jnp.float32)
+        dne_pa_new, dnp_pa_new = pair_mod.pa_rates(
+            f_flat, npos_flat, zones.n_e.reshape(-1).astype(jnp.float32),
+            pair_tables.vsigma, tables.gnt.astype(jnp.float32),
+        )
+        state = state._replace(
+            k_gg=k_gg_new,
+            dn_pp=dn_pp_new,
+            dne_pa=dne_pa_new.reshape(nz, nr, -1),
+            dnp_pa=dnp_pa_new.reshape(nz, nr, -1),
+        )
 
     # ---- 2. emit new photons ----------------------------------------
     photons, e_src_lost = sourcing.emit(
@@ -534,6 +601,9 @@ def _step_impl(
     tallies = tallies._replace(
         e_src_lost=tallies.e_src_lost + e_src_lost
     )
+    n_tracked = psum(
+        jnp.sum(photons.alive.astype(jnp.int32)).astype(jnp.int32)
+    )
     photons, tallies, events = transport_step(
         photons, tallies, events, k_trk, ctx, st
     )
@@ -551,6 +621,8 @@ def _step_impl(
             float(cfg.grid.z_max), grid.dz,
             state.dt, state.time,
             ve.eloss_sy, phys, scales,
+            dn_pp=state.dn_pp, dne_pa=state.dne_pa,
+            dnp_pa=state.dnp_pa,
         )
         # only apply after the field is established (xec2d: update only
         # for ncycle > 0)
@@ -589,5 +661,6 @@ def _step_impl(
         e_el_new=e_el_new,
         dT_max=dT_max,
         fp_substeps=fp_sub,
+        n_tracked=n_tracked,
     )
     return new_state, out

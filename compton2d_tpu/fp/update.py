@@ -60,6 +60,9 @@ def fp_step(
     eloss_sy: jnp.ndarray,     # (nz, nr) [E] per step (for hr_th_sy)
     phys: PhysicsConfig,
     scales: Scales = None,
+    dn_pp: jnp.ndarray = None,   # (nz, nr, num_nt) pair production src
+    dne_pa: jnp.ndarray = None,  # (nz, nr, num_nt) e- annihilation sink
+    dnp_pa: jnp.ndarray = None,  # (nz, nr, num_nt) e+ annihilation sink
 ) -> FPResult:
     """All energies scaled by scales.E, volumes by scales.L^3; heating
     rates hr_* are in E/s. Rates (1/s) need no scaling."""
@@ -124,6 +127,12 @@ def fp_step(
     lnL = phys.lnL
 
     inj = phys.injection
+    use_pairs = bool(phys.pair_switch) and dn_pp is not None
+    if use_pairs:
+        dn_pp_f = dn_pp.reshape(Z, num_nt).astype(f32)
+        dne_pa_f = dne_pa.reshape(Z, num_nt).astype(f32)
+        dnp_pa_f = dnp_pa.reshape(Z, num_nt).astype(f32)
+    npos0 = zones.n_pos.reshape(Z, num_nt).astype(f32)
 
     # ---- substep loop -------------------------------------------------
     def cool_heat_rates(f, th_e, te):
@@ -153,7 +162,7 @@ def fp_step(
         return hr_th_sy + hr_th_c + hr_th_A, gamma_R
 
     def body(carry):
-        it, t_fp, f, th_e, npz, nlept_z, done = carry
+        it, t_fp, f, th_e, npz, nlept_z, npos, done = carry
         te = th_e * jnp.float32(cn.EMASS_KEV)
         hr_total, gamma_R = cool_heat_rates(f, th_e, te)
 
@@ -170,6 +179,16 @@ def fp_step(
             d_t > dt - t_fp, 1.00001 * (dt - t_fp), d_t
         )
         d_t = jnp.maximum(d_t, 1e-30)
+
+        # ---- pair sources/sinks (update2d.f:1185-1221) -------------
+        if use_pairs:
+            dlt = d_t[:, None]
+            f = jnp.maximum(
+                f + (dn_pp_f + dne_pa_f) * dlt
+                / jnp.maximum(ne, 1e-30)[:, None],
+                0.0,
+            )
+            npos = jnp.maximum(npos + (dn_pp_f + dnp_pa_f) * dlt, 0.0)
 
         # ---- injection (update2d.f:1229-1301) ----------------------
         n_inject = jnp.zeros((Z,))
@@ -243,6 +262,13 @@ def fp_step(
         a, b, c = chang_cooper_coeffs(gnt, dgdt, disp, d_t, t_esc)
         f_new = thomas_solve(a, b, c, f_inj)
         f_new = f_new.at[..., 0].set(0.0).at[..., -1].set(0.0)
+        if use_pairs:
+            # positron distribution through the same operator (trid_p,
+            # update2d.f:1399, 2524-2564)
+            npos_new = thomas_solve(a, b, c, npos)
+            npos_new = npos_new.at[..., 0].set(0.0).at[..., -1].set(0.0)
+        else:
+            npos_new = npos
 
         s = jnp.maximum(jnp.sum(f_new * wdg, axis=-1, keepdims=True), 1e-30)
         f_new = f_new / s
@@ -254,21 +280,22 @@ def fp_step(
         # ---- commit for not-done zones -----------------------------
         upd = ~done
         f = jnp.where(upd[:, None], f_new, f)
+        npos = jnp.where(upd[:, None], npos_new, npos)
         th_e = jnp.where(upd, th_new, th_e)
         t_fp_new = jnp.where(upd, t_fp + d_t, t_fp)
         done_new = t_fp_new >= dt
-        return it + 1, t_fp_new, f, th_e, npz, nlept_z, done_new
+        return it + 1, t_fp_new, f, th_e, npz, nlept_z, npos, done_new
 
     def cond(carry):
-        it, _, _, _, _, _, done = carry
+        it, _, _, _, _, _, _, done = carry
         return (it < phys.fp_max_substeps) & ~jnp.all(done)
 
-    th_e0 = tea0 / cn.EMASS_KEV
+    th_e0 = (tea0 / cn.EMASS_KEV).astype(f32)
     init = (
-        jnp.int32(0), jnp.zeros((Z,)), f_old, th_e0, n_p,
-        n_lept, jnp.zeros((Z,), bool),
+        jnp.int32(0), jnp.zeros((Z,), f32), f_old, th_e0, n_p,
+        n_lept, npos0, jnp.zeros((Z,), bool),
     )
-    it_end, _, f_fin, th_fin, np_fin, _, _ = jax.lax.while_loop(
+    it_end, _, f_fin, th_fin, np_fin, _, npos_fin, _ = jax.lax.while_loop(
         cond, body, init
     )
 
@@ -302,6 +329,15 @@ def fp_step(
         f_nt=f_nt_new,
         cdf_nt=cdf_new,
     )
+    if use_pairs:
+        # positron census -> pair fraction (update2d.f:1215-1221)
+        n_positron = jnp.sum(npos_fin * wdg, axis=-1)
+        zones_new = zones_new._replace(
+            n_pos=npos_fin.reshape(nz, nr, num_nt),
+            f_pair=jnp.maximum(
+                n_positron / jnp.maximum(np_fin, 1e-30), 0.0
+            ).reshape(nz, nr),
+        )
     return FPResult(
         zones=zones_new,
         dt_new=dt_new,

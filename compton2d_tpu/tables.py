@@ -36,6 +36,32 @@ from compton2d_tpu.physics.electron_dist import GammaBarTable, gnt_grid
 from compton2d_tpu.physics.emissivity import SyncKernelTable
 
 
+class PairTables(NamedTuple):
+    """Static pair-physics kernels (built only when pair_switch is on;
+    see compton2d_tpu.physics.pairs)."""
+
+    kgg_mat: jnp.ndarray     # (n_gg, n_gg) opacity matrix [cm^3 keV / L]
+    pp_tensor: jnp.ndarray   # (num_nt, n_gg, n_gg) pair-production kernel
+    vsigma: jnp.ndarray      # (num_nt, num_nt) annihilation <sigma v>
+
+
+def build_pair_tables(grid_cfg: GridConfig, length_scale: float = 1.0):
+    from compton2d_tpu.physics import pairs
+    from compton2d_tpu.physics.electron_dist import gnt_grid
+
+    e_gg = e_gg_grid(grid_cfg.n_gg)
+    gnt = gnt_grid(grid_cfg.num_nt)
+    return PairTables(
+        kgg_mat=jnp.asarray(
+            pairs.kgg_matrix(e_gg, length_scale), jnp.float32
+        ),
+        pp_tensor=jnp.asarray(
+            pairs.pairprod_tensor(gnt, e_gg), jnp.float32
+        ),
+        vsigma=jnp.asarray(pairs.vsigma_matrix(gnt), jnp.float32),
+    )
+
+
 class Tables(NamedTuple):
     # grids
     gnt: jnp.ndarray          # (num_nt,) electron gamma-1 grid
