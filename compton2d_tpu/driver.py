@@ -616,13 +616,40 @@ def _step_impl(
     do_fp = (not phys.t_const)
     if do_fp:
         n_field_real = tallies.n_field  # photon counts (already scaled)
+        zones_fp = zones
+        fl = phys.flare
+        if fl.enabled:
+            # coronal-flare Gaussian turbulence enhancement
+            # (update2d.f:543-558); flare coordinates are cm -> scaled
+            r_mid = 0.5 * (grid.r_edges[1:] + grid.r_edges[:-1])
+            z_mid = 0.5 * (grid.z_edges[1:] + grid.z_edges[:-1])
+            y = 0.5 * (
+                ((r_mid[None, :] - fl.r_flare / scales.L)
+                 / (fl.sigma_r / scales.L)) ** 2
+                + ((z_mid[:, None] - fl.z_flare / scales.L)
+                   / (fl.sigma_z / scales.L)) ** 2
+                + ((state.time - fl.t_flare) / fl.sigma_t) ** 2
+            )
+            tl_flare = jnp.where(
+                y < 100.0, fl.amplitude / jnp.exp(jnp.minimum(y, 100.0)),
+                0.0,
+            ).astype(jnp.float32)
+            zones_fp = zones._replace(
+                turb_lev=zones.turb_lev + tl_flare,
+                tna=zones.tna * (1.0 + tl_flare),
+            )
         fpr = fp_step(
-            zones, n_field_real, tables, grid.vol,
+            zones_fp, n_field_real, tables, grid.vol,
             float(cfg.grid.z_max), grid.dz,
             state.dt, state.time,
             ve.eloss_sy, phys, scales,
             dn_pp=state.dn_pp, dne_pa=state.dne_pa,
             dnp_pa=state.dnp_pa,
+        )
+        # the flare modifications to tna/turb_lev are ephemeral
+        # (Tp_flare, update2d.f:558)
+        fpr_zones = fpr.zones._replace(
+            tna=zones.tna, turb_lev=zones.turb_lev
         )
         # only apply after the field is established (xec2d: update only
         # for ncycle > 0)
@@ -631,7 +658,7 @@ def _step_impl(
             lambda new, old: jnp.where(
                 jnp.reshape(apply, (1,) * new.ndim), new, old
             ),
-            fpr.zones, zones,
+            fpr_zones, zones,
         )
         dT_max = jnp.where(apply, fpr.dT_max, 0.0)
         e_el_old, e_el_new = fpr.e_el_old, fpr.e_el_new

@@ -43,11 +43,14 @@ class OutputAccumulator:
 
     def add_step(self, tallies, time: float, dt: float, tea=None,
                  n_e=None):
-        self.fout += np.asarray(tallies.fout) * self.energy_scale
+        # device tallies are f32 in scaled units; convert to erg in f64
+        self.fout += (
+            np.asarray(tallies.fout, np.float64) * self.energy_scale
+        )
         self.lc_rows.append(
             (
                 time, time + dt,
-                np.asarray(tallies.edout) * self.energy_scale,
+                np.asarray(tallies.edout, np.float64) * self.energy_scale,
             )
         )
         if tea is not None:

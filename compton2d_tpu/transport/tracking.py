@@ -37,6 +37,7 @@ from dataclasses import dataclass
 from typing import NamedTuple, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from compton2d_tpu import constants as cn
@@ -276,33 +277,48 @@ def transport_step(
             jz=jnp.where(cross & in_dom, g.jnew, ph.jz),
             kr=jnp.where(cross & in_dom, g.knew, ph.kr),
         )
-        ph, tl, ev = _leak(
-            ph, tl, ev, cross & ~in_dom, g, ctx, st, k_refl1, k_refl2
+        leak_mask = cross & ~in_dom
+        ph, tl, ev = jax.lax.cond(
+            jnp.any(leak_mask),
+            lambda ph, tl, ev: _leak(
+                ph, tl, ev, leak_mask, g, ctx, st, k_refl1, k_refl2
+            ),
+            lambda ph, tl, ev: (ph, tl, ev),
+            ph, tl, ev,
         )
 
         # --- 6b. scattering (in-flight, imctrk2d.f:580-684) ----------
+        # guarded by lax.cond: tail iterations (few in-flight photons,
+        # none scattering) skip the CDF gather + rejection loops
         sct = upd & (ikind == 3) & ph.alive
-        cdf_rows = ctx.cdf_nt[zid]
-        res = scatter(
-            k_scat, ph.e, ph.mu, ph.cphi, ph.sphi, cdf_rows, ctx.gnt,
-            max_tries=st.max_scatter_tries, need=sct,
-        )
-        w_old = ph.w
-        w_new = ph.w * res.wscale
-        d_e = jnp.where(sct, w_new - w_old, 0.0)
-        tl = tl._replace(
-            edep=tl.edep.reshape(-1).at[zid].add(
-                d_e, mode="drop"
-            ).reshape(st.nz, st.nr),
-            e_ic=tl.e_ic.at[res.i_gam].add(d_e, mode="drop"),
-            e_scatter=tl.e_scatter + jnp.sum(d_e),
-        )
-        ph = ph._replace(
-            e=jnp.where(sct, res.e, ph.e),
-            w=jnp.where(sct, w_new, ph.w),
-            mu=jnp.where(sct, res.mu, ph.mu),
-            cphi=jnp.where(sct, res.cphi, ph.cphi),
-            sphi=jnp.where(sct, res.sphi, ph.sphi),
+
+        def do_scatter(ph, tl):
+            cdf_rows = ctx.cdf_nt[zid]
+            res = scatter(
+                k_scat, ph.e, ph.mu, ph.cphi, ph.sphi, cdf_rows,
+                ctx.gnt, max_tries=st.max_scatter_tries, need=sct,
+            )
+            w_old = ph.w
+            w_new = ph.w * res.wscale
+            d_e = jnp.where(sct, w_new - w_old, 0.0)
+            tl = tl._replace(
+                edep=tl.edep.reshape(-1).at[zid].add(
+                    d_e, mode="drop"
+                ).reshape(st.nz, st.nr),
+                e_ic=tl.e_ic.at[res.i_gam].add(d_e, mode="drop"),
+                e_scatter=tl.e_scatter + jnp.sum(d_e),
+            )
+            ph = ph._replace(
+                e=jnp.where(sct, res.e, ph.e),
+                w=jnp.where(sct, w_new, ph.w),
+                mu=jnp.where(sct, res.mu, ph.mu),
+                cphi=jnp.where(sct, res.cphi, ph.cphi),
+                sphi=jnp.where(sct, res.sphi, ph.sphi),
+            )
+            return ph, tl
+
+        ph, tl = jax.lax.cond(
+            jnp.any(sct), do_scatter, lambda ph, tl: (ph, tl), ph, tl
         )
 
         return it + 1, ph, tl, ev
@@ -366,31 +382,44 @@ def _leak(ph, tl, ev, mask, g, ctx, st, k1, k2):
         ),
     )
 
-    # --- lower-boundary Compton reflection (imcleak2d.f:104-165) -----
-    reflect_low = jnp.zeros((n,), bool)
-    if st.cr_sent in (1, 3, 4):
-        reflect_low = at_lower
-        mirror = ~ctx.tbbl_pos[kr_c] | (st.cr_sent == 4)
-        refl_sample = reflect_low & ~mirror
-        # redistribute energy via the P_ref column CDF
+    # --- Compton reflection sampling shared by the lower boundary and
+    # the outer disk (imcleak2d.f:104-165, 216-272)
+    def sample_reflection(e_in, w_in, k_cdf, k_e):
+        n_ref = ctx.e_ref.shape[0]
         n_in = jnp.clip(
-            jnp.searchsorted(ctx.e_ref, ph.e.astype(ctx.e_ref.dtype)),
-            0, ctx.e_ref.shape[0] - 1,
+            jnp.searchsorted(ctx.e_ref, e_in.astype(ctx.e_ref.dtype)),
+            0, n_ref - 1,
         ).astype(jnp.int32)
-        u = jax.random.uniform(k1, (n,), jnp.float32)
-        rows = ctx.p_ref_t[n_in]                    # (n, n_ref_out)
-        n_out = jnp.sum(
-            (rows < u[:, None]).astype(jnp.int32), axis=1
-        )
-        n_out = jnp.clip(n_out, 0, ctx.e_ref.shape[0] - 1)
-        u2 = jax.random.uniform(k2, (n,), jnp.float32)
+        u = jax.random.uniform(k_cdf, (n,), jnp.float32)
+        # per-photon binary search down the P_ref column: O(log n_ref)
+        # scalar gathers instead of an (n, n_ref) row gather
+        lo = jnp.zeros((n,), jnp.int32)
+        hi = jnp.full((n,), n_ref, jnp.int32)
+        n_bits = int(np.ceil(np.log2(max(n_ref, 2))))
+        for _ in range(n_bits):
+            mid = (lo + hi) // 2
+            v = ctx.p_ref_t[n_in, jnp.clip(mid, 0, n_ref - 1)]
+            go_hi = v < u
+            lo = jnp.where(go_hi, mid + 1, lo)
+            hi = jnp.where(go_hi, hi, mid)
+        n_out = jnp.clip(lo, 0, n_ref - 1)
+        u2 = jax.random.uniform(k_e, (n,), jnp.float32)
         e_lo = ctx.e_ref[jnp.maximum(n_out - 1, 0)]
         e_hi = ctx.e_ref[n_out]
         e_new = jnp.where(
             n_out > 0, e_lo + u2 * (e_hi - e_lo), ctx.e_ref[0]
         ).astype(jnp.float32)
         w_fac = ctx.w_abs_t[n_in, n_out].astype(jnp.float32)
-        w_new = ph.w * w_fac * e_new / jnp.maximum(ph.e, 1e-30)
+        w_new = w_in * w_fac * e_new / jnp.maximum(e_in, 1e-30)
+        return e_new, w_new
+
+    # --- lower-boundary Compton reflection (imcleak2d.f:104-165) -----
+    reflect_low = jnp.zeros((n,), bool)
+    if st.cr_sent in (1, 3, 4):
+        reflect_low = at_lower
+        mirror = ~ctx.tbbl_pos[kr_c] | (st.cr_sent == 4)
+        refl_sample = reflect_low & ~mirror
+        e_new, w_new = sample_reflection(ph.e, ph.w, k1, k2)
         tl = tl._replace(
             ed_ref=tl.ed_ref.at[kr_c].add(
                 jnp.where(refl_sample, w_new, 0.0)
@@ -403,9 +432,42 @@ def _leak(ph, tl, ev, mask, g, ctx, st, k1, k2):
             jz=jnp.where(reflect_low, 0, ph.jz),
         )
 
+    # --- outer-disk reflection (cr_sent 2/3, imcleak2d.f:216-272):
+    # downward-moving photons leaving the outer radius reflect off the
+    # surrounding disk; the reflected photon is recorded as an escape
+    # with a time-of-flight delay to the disk plane and killed ---------
+    if st.cr_sent in (2, 3):
+        disk_refl = at_outer & (ph.mu <= 0.0)
+        k3 = jax.random.fold_in(k1, 1)
+        k4 = jax.random.fold_in(k2, 1)
+        e_new, w_new = sample_reflection(ph.e, ph.w, k3, k4)
+        mu_ok = jnp.abs(ph.mu) > 1e-6
+        # flight to the z=0 disk plane (imcleak2d.f:247-255)
+        extra_t = jnp.where(
+            mu_ok, ph.z / jnp.maximum(jnp.abs(ph.mu), 1e-6), 1e20
+        )
+        f_h = ph.z * jnp.sqrt(
+            jnp.maximum(1.0 - ph.mu**2, 0.0)
+        ) / jnp.maximum(jnp.abs(ph.mu), 1e-6)
+        r_disk = jnp.sqrt(
+            jnp.maximum(
+                ph.r**2 + f_h**2 + 2.0 * ph.r * f_h * ph.cphi, 0.0
+            )
+        )
+        u_mu = jax.random.uniform(jax.random.fold_in(k1, 2), (n,),
+                                  jnp.float32)
+        ph = ph._replace(
+            e=jnp.where(disk_refl, e_new, ph.e),
+            w=jnp.where(disk_refl, w_new, ph.w),
+            z=jnp.where(disk_refl, 0.0, ph.z),
+            r=jnp.where(disk_refl & mu_ok, r_disk, ph.r),
+            mu=jnp.where(disk_refl, u_mu, ph.mu),
+        )
+        disk_extra_t = jnp.where(disk_refl, extra_t, 0.0)
+    else:
+        disk_extra_t = jnp.zeros((n,), jnp.float32)
+
     # --- escapes ------------------------------------------------------
-    # NOTE: outer-disk reflection (cr_sent 2/3, imcleak2d.f:216-272) is
-    # not yet implemented; those photons escape. TODO(reflection-disk).
     esc_lower = at_lower & ~reflect_low
     esc_upper = at_upper
     escaping = at_outer | esc_lower | esc_upper | die_inner
@@ -415,9 +477,10 @@ def _leak(ph, tl, ev, mask, g, ctx, st, k1, k2):
         esc_upper & (ph.mu >= st.upper_escape_mu_cut)
     )
     # time of flight remaining: dcen [L] * (L/c) [s/L] (imcleak2d.f:203)
+    # plus the disk-reflection flight delay (imcleak2d.f:247-249)
     t_bound = (
         ctx.time.astype(jnp.float32) + ctx.dt.astype(jnp.float32)
-        - ctx.inv_c * ph.dcen
+        - ctx.inv_c * (ph.dcen - disk_extra_t)
     )
 
     sp = spectral_bin(ctx.hu, ph.e)
