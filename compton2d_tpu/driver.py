@@ -203,6 +203,15 @@ class Simulation:
             else None
         )
         pair_tables = self.pair_tables
+        if cfg.physics.fp_include_coulomb:
+            from compton2d_tpu.physics.coulomb import build_coulomb_tables
+
+            self.coulomb_tables = build_coulomb_tables(
+                np.asarray(self.tables.gnt), lnL=cfg.physics.lnL
+            )
+        else:
+            self.coulomb_tables = None
+        coulomb_tables = self.coulomb_tables
         self.mesh = mesh
         scales = self.scales
         if mesh is None:
@@ -210,6 +219,7 @@ class Simulation:
                 lambda s, src, grid, tab: _step_impl(
                     s, src, grid, tab, cfg, scales,
                     pair_tables=pair_tables,
+                    coulomb_tables=coulomb_tables,
                 )
             )
         else:
@@ -261,6 +271,7 @@ class Simulation:
                     s, src, grid, tab, cfg, scales,
                     axis_name=pmesh.AXIS, n_devices=ndev,
                     pair_tables=pair_tables,
+                    coulomb_tables=coulomb_tables,
                 ),
                 mesh=mesh,
                 in_specs=in_specs,
@@ -424,6 +435,7 @@ def _step_impl(
     axis_name: Optional[str] = None,
     n_devices: int = 1,
     pair_tables=None,
+    coulomb_tables=None,
 ) -> Tuple[SimState, StepOutputs]:
     g = cfg.grid
     phys = cfg.physics
@@ -645,6 +657,7 @@ def _step_impl(
             ve.eloss_sy, phys, scales,
             dn_pp=state.dn_pp, dne_pa=state.dne_pa,
             dnp_pa=state.dnp_pa,
+            coulomb=coulomb_tables,
         )
         # the flare modifications to tna/turb_lev are ephemeral
         # (Tp_flare, update2d.f:558)

@@ -63,6 +63,7 @@ def fp_step(
     dn_pp: jnp.ndarray = None,   # (nz, nr, num_nt) pair production src
     dne_pa: jnp.ndarray = None,  # (nz, nr, num_nt) e- annihilation sink
     dnp_pa: jnp.ndarray = None,  # (nz, nr, num_nt) e+ annihilation sink
+    coulomb=None,                # CoulombTables (fp_include_coulomb)
 ) -> FPResult:
     """All energies scaled by scales.E, volumes by scales.L^3; heating
     rates hr_* are in E/s. Rates (1/s) need no scaling."""
@@ -255,9 +256,19 @@ def fp_step(
         dgdt = dg_sy + dg_ic + dg_A
         disp = disp_A
         if phys.fp_include_coulomb:
-            dg_cp, disp_cp = _coulomb_drift(gamma, tna, npz, lnL)
-            dgdt = dgdt + dg_cp
-            disp = disp + disp_cp
+            if coulomb is not None:
+                # exact Moller/Coulomb tables (physics/coulomb.py)
+                dg_ce_t, disp_ce_t, dg_cp_t, disp_cp_t = coulomb.lookup(
+                    None, te, tna
+                )
+                dgdt = dgdt + dg_ce_t * nlept_z[:, None] \
+                    + dg_cp_t * npz[:, None]
+                disp = disp + disp_ce_t * nlept_z[:, None] \
+                    + disp_cp_t * npz[:, None]
+            else:
+                dg_cp, disp_cp = _coulomb_drift(gamma, tna, npz, lnL)
+                dgdt = dgdt + dg_cp
+                disp = disp + disp_cp
 
         a, b, c = chang_cooper_coeffs(gnt, dgdt, disp, d_t, t_esc)
         f_new = thomas_solve(a, b, c, f_inj)

@@ -73,3 +73,30 @@ def test_acceleration_pushes_distribution_up():
     g0 = float(jnp.sum(gamma * f0 * w))
     g1 = float(jnp.sum(gamma * f1 * w))
     assert g1 > g0
+
+
+def test_coulomb_tables_thermalize():
+    """Exact Moller coefficients must drive slow electrons up and fast
+    electrons down in gamma (thermalization toward the bath)."""
+    import numpy as np
+    from compton2d_tpu.physics import coulomb as cl
+
+    g = np.array([1.05, 1.2, 2.0, 10.0])
+    b = np.sqrt(1 - 1 / g**2)
+    dm = cl.dg_mo(g, b, 0.2)
+    assert dm[0] > 0 and dm[-1] < 0
+    assert np.all(cl.disp_mo(g, b, 0.2) > 0)
+
+
+def test_fp_include_coulomb_runs():
+    from compton2d_tpu.examples import small_corona
+
+    sim = small_corona(
+        nz=2, nr=2, nst=300, n_slots=1024, num_nt=40, n_vol=32,
+        nphfield=32, t_const=False, fp_include_coulomb=True,
+    )
+    out = sim.step()
+    out = sim.step()
+    import numpy as np
+
+    assert np.isfinite(float(sim.state.zones.tea[0, 0]))
