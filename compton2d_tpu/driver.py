@@ -704,3 +704,35 @@ def _step_impl(
         n_tracked=n_tracked,
     )
     return new_state, out
+
+
+def write_diagnostics(sim: "Simulation", out_dir: str):
+    """The reference's diagnostic dumps (SURVEY.md §4): icloss.dat,
+    seb.dat, fnt snapshots, nfield.dat, eic.dat."""
+    import os
+
+    from compton2d_tpu.io import outputs as outs
+
+    os.makedirs(out_dir, exist_ok=True)
+    t = sim.tables
+    s = sim.state
+    outs.write_icloss(
+        os.path.join(out_dir, "icloss.dat"), t.gnt, t.e_field, t.f_ic
+    )
+    outs.write_seb(
+        os.path.join(out_dir, "seb.dat"), t.gnt, s.zones.f_nt,
+        s.zones.n_pos,
+    )
+    outs.write_electron_snapshots(
+        out_dir, t.gnt, np.asarray(s.zones.f_nt),
+        np.asarray(s.zones.n_pos), int(s.ncycle),
+    )
+    if sim.last_outputs is not None:
+        outs.write_nfield(
+            os.path.join(out_dir, "nfield.dat"), t.e_field,
+            sim.last_outputs.tallies.n_field, sim.scales.E,
+        )
+        outs.write_eic(
+            os.path.join(out_dir, "eic.dat"), t.gnt,
+            sim.last_outputs.tallies.e_ic, sim.scales.E,
+        )

@@ -112,3 +112,77 @@ class OutputAccumulator:
         with open(path, "w") as fh:
             for r, t in zip(r_mid, t_r):
                 fh.write("%14.7e %14.7e\n" % (r, t))
+
+
+# ---------------------------------------------------------------------------
+# Diagnostic dumps (SURVEY.md §4: the reference's verification-by-
+# inspection files)
+# ---------------------------------------------------------------------------
+def write_icloss(path: str, gnt, e_field, f_ic):
+    """icloss.dat (icloss2d.f:47-61): F_IC table dump."""
+    gnt = np.asarray(gnt)
+    e_field = np.asarray(e_field)
+    f_ic = np.asarray(f_ic)
+    with open(path, "w") as fh:
+        for i, g in enumerate(gnt):
+            for j, e in enumerate(e_field):
+                fh.write("%14.7e %14.7e %14.7e\n" % (g, e, f_ic[i, j]))
+
+
+def write_electron_snapshots(dirpath: str, gnt, f_nt, n_pos, ncycle: int,
+                             stride_j: int = 15, stride_k: int = 5):
+    """output/fnt_JJ_KK_CCC.dat electron-distribution snapshots
+    (update2d.f:1505-1533), same zone striding as the reference."""
+    os.makedirs(dirpath, exist_ok=True)
+    gnt = np.asarray(gnt)
+    f_nt = np.asarray(f_nt)
+    n_pos = np.asarray(n_pos)
+    nz, nr, _ = f_nt.shape
+    for j in range(0, nz, stride_j):
+        for k in range(0, nr, stride_k):
+            name = os.path.join(
+                dirpath, f"fnt_{j+1:02d}_{k+1:02d}_{ncycle:03d}.dat"
+            )
+            with open(name, "w") as fh:
+                for i, g in enumerate(gnt):
+                    fh.write(
+                        "%14.7e %14.7e %14.7e\n"
+                        % (g, max(f_nt[j, k, i], 1e-30),
+                           max(n_pos[j, k, i], 1e-30))
+                    )
+
+
+def write_seb(path: str, gnt, f_nt, n_pos=None):
+    """output/seb.dat initial electron distribution
+    (nontherm2d.f:119-127), zone (0,0)."""
+    gnt = np.asarray(gnt)
+    f = np.asarray(f_nt)[0, 0]
+    p = np.asarray(n_pos)[0, 0] if n_pos is not None else np.zeros_like(f)
+    with open(path, "w") as fh:
+        for i, g in enumerate(gnt):
+            fh.write(
+                "%14.7e %14.7e %14.7e\n"
+                % (g, max(f[i], 1e-30), max(p[i], 1e-30))
+            )
+
+
+def write_nfield(path: str, e_field, n_field, energy_scale: float,
+                 photons_per_erg_kev: float = 6.25e8):
+    """output/nfield.dat radiation-field dump (update2d.f:1975-1981);
+    converts the scaled tally back to absolute photon counts."""
+    e_field = np.asarray(e_field)
+    nf = np.asarray(n_field, np.float64) * energy_scale * photons_per_erg_kev
+    tot = nf.sum(axis=(0, 1))
+    with open(path, "w") as fh:
+        for e, v in zip(e_field, tot):
+            fh.write("%14.7e %14.7e\n" % (e, max(v, 1e-30)))
+
+
+def write_eic(path: str, gnt, e_ic, energy_scale: float):
+    """output/eic.dat IC energy-exchange per electron bin
+    (update2d.f:2054-2060)."""
+    gnt = np.asarray(gnt)
+    e = np.asarray(e_ic, np.float64) * energy_scale
+    with open(path, "w") as fh:
+        for g, v in zip(gnt, e):
+            fh.write("%14.7e %14.7e\n" % (g, v))
