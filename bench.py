@@ -37,9 +37,11 @@ def main():
         # field grids (general.pa)
         sim = small_corona(
             nz=8, nr=4, nst=60000, n_slots=1 << 17, num_nt=200,
-            n_vol=400, nphfield=400, t_const=False,
+            n_vol=400, nphfield=400,
+            t_const=bool(int(os.environ.get("BENCH_TCONST", 0))),
+            max_flight_iters=int(os.environ.get("BENCH_MAX_ITERS", 256)),
         )
-        steps = 3
+        steps = int(os.environ.get("BENCH_STEPS", 3))
 
     # warmup: compile + populate the census
     t0 = time.time()

@@ -27,6 +27,7 @@ def small_corona(
     n_vol: int = 128,
     nphfield: int = 128,
     mesh=None,
+    max_flight_iters: int = 256,
     **phys_kw,
 ) -> Simulation:
     """A small 2-D accreting-corona setup: hot thermal electron cloud
@@ -50,7 +51,8 @@ def small_corona(
         grid=grid,
         physics=PhysicsConfig(t_const=t_const, **phys_kw),
         source=SourceConfig(nst=nst),
-        run=RunConfig(seed=seed, n_slots=n_slots, max_flight_iters=256,
+        run=RunConfig(seed=seed, n_slots=n_slots,
+                      max_flight_iters=max_flight_iters,
                       event_capacity=n_slots),
         windows=(win,),
     )

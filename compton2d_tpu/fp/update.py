@@ -332,6 +332,43 @@ def fp_step(
         ),
     )
 
+    # ---- effective nonthermal parameters (update2d.f:1654-1736) -----
+    # gmin/gmax from the support of f_new, amxwl from the below-gmin
+    # fraction, p_nth by matching the power-law mean energy to <gamma>
+    idx = jnp.arange(num_nt)
+    interior = (idx >= 4) & (idx < num_nt - 5)
+    above_lo = interior & (f_fin > 1e-10)
+    i_nt = jnp.argmax(above_lo, axis=-1)               # first hit
+    has_lo = jnp.any(above_lo, axis=-1)
+    i_nt = jnp.where(has_lo, i_nt, 4)
+    above_hi = interior & (f_fin > 1e-15)
+    i_hi = num_nt - 1 - jnp.argmax(above_hi[:, ::-1], axis=-1)
+    i_hi = jnp.where(jnp.any(above_hi, axis=-1), i_hi, num_nt - 6)
+    gmin_eff = gamma[i_nt]
+    gmax_eff = gamma[i_hi]
+    below = idx[None, :] < i_nt[:, None]
+    sum_th = jnp.sum(jnp.where(below, f_fin * wdg, 0.0), axis=-1)
+    sum_all = jnp.maximum(jnp.sum(f_fin * wdg, axis=-1), 1e-30)
+    amxwl_eff = jnp.clip(sum_th / sum_all, 0.0, 1.0)
+    sum_e_mean = jnp.sum(gamma * f_fin * wdg, axis=-1) / sum_all
+    # p scan 0.1..10 (update2d.f:1692-1731), vectorized global best
+    p_cand = jnp.arange(0.1, 10.01, 0.05, dtype=f32)    # (P,)
+    nt_mask = (idx[None, :] >= i_nt[:, None]) & (idx < num_nt - 1)
+    y_c = gamma[None, :] / gmax_eff[:, None]            # (Z, num_nt)
+    base = jnp.where(nt_mask & (y_c < 90.0),
+                     jnp.exp(-jnp.minimum(y_c, 90.0)) * wdg, 0.0)
+    lg = jnp.log(gamma)
+    # f_pl ~ gamma^-p e^-y: mean gamma over the PL for each candidate p
+    gp = jnp.exp(-p_cand[:, None] * lg[None, :])        # (P, num_nt)
+    denom_p = jnp.einsum("zg,pg->zp", base, gp) + 1e-30
+    numer_p = jnp.einsum("zg,pg->zp", base * gamma[None, :], gp)
+    miss = jnp.abs(numer_p / denom_p - sum_e_mean[:, None])
+    p_eff = p_cand[jnp.argmin(miss, axis=-1)]
+    pure_th = amxwl_eff > 0.9999
+    gmin_eff = jnp.where(pure_th, zones.gmin.reshape(Z), gmin_eff)
+    gmax_eff = jnp.where(pure_th, zones.gmax.reshape(Z), gmax_eff)
+    p_eff = jnp.where(pure_th, zones.p_nth.reshape(Z), p_eff)
+
     f_nt_new = f_fin.reshape(nz, nr, num_nt)
     cdf_new = ed.build_cdf(f_nt_new, gnt)
     zones_new = zones._replace(
@@ -339,6 +376,12 @@ def fp_step(
         n_e=np_fin.reshape(nz, nr),
         f_nt=f_nt_new,
         cdf_nt=cdf_new,
+        gmin=gmin_eff.reshape(nz, nr),
+        gmax=gmax_eff.reshape(nz, nr),
+        p_nth=p_eff.reshape(nz, nr),
+        amxwl=jnp.where(
+            pure_th, 1.0, amxwl_eff
+        ).reshape(nz, nr),
     )
     if use_pairs:
         # positron census -> pair fraction (update2d.f:1215-1221)
