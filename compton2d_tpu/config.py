@@ -161,6 +161,10 @@ class PhysicsConfig:
     dh_sentinel: int = 0        # disk re-heating by absorbed flux
     pair_switch: int = 0        # gamma-gamma pair production
     t_const: bool = False       # freeze electron temperatures (no FP solve)
+    # spec_switch=1: tally the spectra *incident on* the top/bottom
+    # boundaries instead of the escaping spectrum (photon-bubble runs,
+    # imcleak2d.f:53-58)
+    spec_switch: int = 0
     star_switch: int = 0        # dilute upper illumination by (R*/d)^2
     r_star: float = 1.0
     dist_star: float = 1.0

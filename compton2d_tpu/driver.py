@@ -482,7 +482,7 @@ def _step_impl(
     ve = volume_em(
         tables.e_ph, tables.gnt, zones.f_nt, zones.tea, zones.n_e, B,
         zones.amxwl, grid.vol, grid.zone_surf, l_min, state.dt,
-        tables.sync, scales,
+        tables.sync, scales, f_pair=zones.f_pair,
     )
 
     nst_eff = cfg.source.nst * max(cfg.source.split, 1)
@@ -603,6 +603,7 @@ def _step_impl(
         max_iters=run.max_flight_iters,
         max_scatter_tries=run.max_scatter_tries,
         weight_floor=cfg.source.weight_floor,
+        spec_switch=phys.spec_switch,
     )
 
     tallies = Tallies.zeros(

@@ -149,6 +149,7 @@ class VolumeEmission(NamedTuple):
     eloss_sy: jnp.ndarray     # (nz, nr) [E] per step
     eloss_th: jnp.ndarray     # (nz, nr) [E] per step
     eloss_br: jnp.ndarray     # (nz, nr) [E] diagnostic
+    eloss_pa: jnp.ndarray     # (nz, nr) [E] pair-annihilation diagnostic
     eloss_tot: jnp.ndarray    # (nz, nr) [E] = active budget (fas)
 
 
@@ -167,6 +168,7 @@ def volume_em(
     sync_tab: SyncKernelTable,
     scales: Scales,
     zone_chunk: int = 64,
+    f_pair: jnp.ndarray = None,  # (nz, nr) for the eloss_pa diagnostic
 ) -> VolumeEmission:
     """Vectorized volume_em over all zones (volume2d.f:10-390 +
     imcgen2d.f:276-335), float32-safe."""
@@ -191,6 +193,8 @@ def volume_em(
     kap_L = scales.L                                    # kappa [1/cm] -> 1/L
 
     zshape = (nz * nr,)
+    if f_pair is None:
+        f_pair = jnp.zeros_like(tea)
     st = {
         "f": f_nt.reshape(nz * nr, num_nt).astype(f32),
         "tea": tea.reshape(zshape).astype(f32),
@@ -200,6 +204,7 @@ def volume_em(
         "zsurf": zsurf.reshape(zshape).astype(f32),
         "l_min": l_min.reshape(zshape).astype(f32),
         "amxwl": amxwl.reshape(zshape).astype(f32),
+        "f_pair": f_pair.reshape(zshape).astype(f32),
     }
     dt32 = dt.astype(f32)
 
@@ -261,9 +266,18 @@ def volume_em(
             (k_eloss_br * dt32) * zs["vol"] * zs["amxwl"]
             * jnp.sqrt(zs["tea"]) * f_rel * nez * nez
         )
+        # pair annihilation loss diagnostic (imcgen2d.f:318-324)
+        fp = zs["f_pair"]
+        eloss_pa = (
+            (1.223e-20 * scales.L3 / scales.E * dt32) * zs["vol"]
+            * fp * (1.0 + fp) * nez * nez
+            / (1.0 / (1.0 + 6.0 * th_e)
+               + th_e / (jnp.log(1.123 * th_e + 1.0) + 0.25))
+        )
         return dict(
             kappa_tot=kappa_tot, eps_tot=eps_tot, eps_th=eps_th,
             eloss_sy=eloss_sy, eloss_th=eloss_th, eloss_br=eloss_br,
+            eloss_pa=eloss_pa,
         )
 
     out = jax.lax.map(per_zone, st, batch_size=zone_chunk)
@@ -276,6 +290,7 @@ def volume_em(
         eloss_sy=eloss_sy,
         eloss_th=out["eloss_th"].reshape(shape2),
         eloss_br=out["eloss_br"].reshape(shape2),
+        eloss_pa=out["eloss_pa"].reshape(shape2),
         # active budget: synchrotron only (imcgen2d.f:328-331)
         eloss_tot=eloss_sy,
     )

@@ -59,6 +59,7 @@ class TrackStatics:
     max_scatter_tries: int = 64
     weight_floor: float = 1.0e-10
     upper_escape_mu_cut: float = 0.98   # imcleak2d.f:303 event filter
+    spec_switch: int = 0                # imcleak2d.f:53-58
 
 
 class TrackContext(NamedTuple):
@@ -487,9 +488,15 @@ def _leak(ph, tl, ev, mask, g, ctx, st, k1, k2):
     lc = lc_bin(ctx.lc_lo, ctx.lc_hi, ph.e)
     mb = mu_bin(ctx.mu_edges, ph.mu)
     w_tal = jnp.where(record, ph.w, 0.0)
+    if st.spec_switch == 1:
+        # spectra incident on the z boundaries (imcleak2d.f:116-117):
+        # tally the reflected/at-boundary photons, not the escapes
+        w_sp = jnp.where(reflect_low | at_upper | at_lower, ph.w, 0.0)
+    else:
+        w_sp = w_tal
     tl = tl._replace(
         fout=tl.fout.at[mb, jnp.maximum(sp, 0)].add(
-            jnp.where(sp >= 0, w_tal, 0.0)
+            jnp.where(sp >= 0, w_sp, 0.0)
         ),
         edout=tl.edout.at[mb, jnp.maximum(lc, 0)].add(
             jnp.where(lc >= 0, w_tal, 0.0) / ctx.dt
