@@ -60,6 +60,12 @@ class TrackStatics:
     weight_floor: float = 1.0e-10
     upper_escape_mu_cut: float = 0.98   # imcleak2d.f:303 event filter
     spec_switch: int = 0                # imcleak2d.f:53-58
+    # staged-compaction schedule: full width for phase0_iters, then
+    # width n/div for the paired iteration budget, remainder at the
+    # narrowest width (see transport_step docstring)
+    phase0_iters: int = 16
+    phase_divisors: Tuple[int, ...] = (4, 16)
+    phase_iters: Tuple[int, ...] = (48, 10_000)
 
 
 class TrackContext(NamedTuple):
@@ -138,7 +144,60 @@ def transport_step(
     ctx: TrackContext,
     st: TrackStatics,
 ) -> Tuple[PhotonArray, Tallies, EventBuffer]:
-    """Track every photon to its census time, escape, or absorption."""
+    """Track every photon to its census time, escape, or absorption.
+
+    Staged compaction: the lock-step loop runs at full width only while
+    most photons are in flight; the long tail (multiply-scattered /
+    diffusing photons, the reason the reference forces 3-level
+    splitting) is gathered into successively narrower buffers so tail
+    iterations don't pay full-width vector cost. Any photon still in
+    flight when its stage's buffer is too small simply stays in the slot
+    array and goes to census with its remaining flight time unspent
+    (bounded time skew, energy exactly conserved — the analogue of the
+    reference's census cutoff).
+    """
+    n = photons.n_slots
+    it0 = jnp.int32(0)
+    # stage 0: full width
+    i1 = min(st.phase0_iters, st.max_iters)
+    photons, tallies, events, it0 = _flight_phase(
+        photons, tallies, events, key, ctx, st, i1, it0
+    )
+    # narrowing stages
+    for div, iters in zip(st.phase_divisors, st.phase_iters):
+        width = max(n // div, 256)
+        if width >= n:
+            continue
+        inflight = photons.alive & (photons.dcen > 0.0)
+        order = jnp.argsort(~inflight, stable=True)       # active first
+        sel = order[:width]
+        sub = jax.tree_util.tree_map(lambda a: a[sel], photons)
+        sub, tallies, events, it0 = _flight_phase(
+            sub, tallies, events, key, ctx, st,
+            min(iters, st.max_iters), it0,
+        )
+        photons = jax.tree_util.tree_map(
+            lambda a, s: a.at[sel].set(s), photons, sub
+        )
+
+    # stragglers that exhausted the budget go to census as-is
+    photons = photons._replace(
+        dcen=jnp.where(photons.alive, 0.0, photons.dcen)
+    )
+    return photons, tallies, events
+
+
+def _flight_phase(
+    photons: PhotonArray,
+    tallies: Tallies,
+    events: EventBuffer,
+    key: jax.Array,
+    ctx: TrackContext,
+    st: TrackStatics,
+    max_iters: int,
+    it0,
+):
+    """The lock-step flight loop at the width of ``photons``."""
     n = photons.n_slots
 
     def zone_id(jz, kr):
@@ -324,19 +383,16 @@ def transport_step(
 
         return it + 1, ph, tl, ev
 
+    it_end = it0 + max_iters
+
     def cond(carry):
         it, ph, _, _ = carry
-        return (it < st.max_iters) & jnp.any(ph.alive & (ph.dcen > 0.0))
+        return (it < it_end) & jnp.any(ph.alive & (ph.dcen > 0.0))
 
-    _, photons, tallies, events = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), photons, tallies, events)
+    it_fin, photons, tallies, events = jax.lax.while_loop(
+        cond, body, (it0, photons, tallies, events)
     )
-
-    # stragglers that exhausted max_iters go to census as-is
-    photons = photons._replace(
-        dcen=jnp.where(photons.alive, 0.0, photons.dcen)
-    )
-    return photons, tallies, events
+    return photons, tallies, events, it_fin
 
 
 def _leak(ph, tl, ev, mask, g, ctx, st, k1, k2):
