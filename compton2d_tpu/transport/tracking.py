@@ -62,7 +62,10 @@ class TrackStatics:
     spec_switch: int = 0                # imcleak2d.f:53-58
     # staged-compaction schedule: full width for phase0_iters, then
     # width n/div for the paired iteration budget, remainder at the
-    # narrowest width (see transport_step docstring)
+    # narrowest width (see transport_step docstring). Off by default:
+    # measured on TPU v5e the early-exit full-width loop already beats
+    # it (the argsort/gather/scatter overhead exceeds the tail savings).
+    use_compaction: bool = False
     phase0_iters: int = 16
     phase_divisors: Tuple[int, ...] = (4, 16)
     phase_iters: Tuple[int, ...] = (48, 10_000)
@@ -158,6 +161,14 @@ def transport_step(
     """
     n = photons.n_slots
     it0 = jnp.int32(0)
+    if not st.use_compaction:
+        photons, tallies, events, _ = _flight_phase(
+            photons, tallies, events, key, ctx, st, st.max_iters, it0
+        )
+        photons = photons._replace(
+            dcen=jnp.where(photons.alive, 0.0, photons.dcen)
+        )
+        return photons, tallies, events
     # stage 0: full width
     i1 = min(st.phase0_iters, st.max_iters)
     photons, tallies, events, it0 = _flight_phase(
