@@ -31,9 +31,12 @@ class TimeWindow:
     reader.f:222-283).
 
     ``tbb_*`` hold one blackbody temperature [keV] per boundary cell; a
-    negative value means "external file spectrum" (the reference convention)
-    and ``*_spectrum`` then names the spectrum source registered in
-    :class:`SourceConfig`.
+    negative value means "external file spectrum" (the reference
+    convention) and the matching entry of ``upper_spectra`` /
+    ``lower_spectra`` names the 4-column spectrum file for that ring
+    (reader.f:231-241 reads one ``u_fname``/``l_fname`` per ring per
+    window). File boundaries only switch on once ``time + dt/2 >= t0``
+    (imcgen2d.f:127,139,156,173).
     """
 
     t0: float                      # window start time [s]
@@ -42,6 +45,10 @@ class TimeWindow:
     tbb_lower: Tuple[float, ...]   # per r-ring, boundary z = 0
     tbb_inner: Tuple[float, ...]   # per z-row, boundary r = r_min
     tbb_outer: Tuple[float, ...]   # per z-row, boundary r = r_max
+    # per-ring external spectrum files for rings with tbb < 0
+    # (empty tuple = none; entries may be None for thermal rings)
+    upper_spectra: Tuple[Optional[str], ...] = ()
+    lower_spectra: Tuple[Optional[str], ...] = ()
 
 
 # ---------------------------------------------------------------------------

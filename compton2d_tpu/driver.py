@@ -66,32 +66,134 @@ class StepOutputs(NamedTuple):
     n_tracked: jnp.ndarray    # () photons tracked this step (histories)
 
 
-def _source_static(cfg: SimConfig, window) -> sourcing.SourceStatic:
-    """Boundary-condition arrays for one time window."""
+class WindowSources(NamedTuple):
+    """Per-time-window boundary sources sharing one spectrum bank.
+
+    The reference re-selects the boundary window by ``time + dt/2`` every
+    step (imcgen2d.f:111-120) and re-reads the per-ring spectrum files
+    (file_sp); here all windows are prebuilt on the host with identical
+    array shapes so swapping them under the jitted step never recompiles.
+    ``off`` variants zero the file flux — the reference only activates a
+    file boundary once ``time + dt/2 >= t0`` (imcgen2d.f:127,139,156,173).
+    """
+
+    t0: np.ndarray                 # (n_windows,) start times [s]
+    t1: np.ndarray                 # (n_windows,) end times [s]
+    on: Tuple[sourcing.SourceStatic, ...]
+    off: Tuple[sourcing.SourceStatic, ...]
+
+    def select(self, time: float, dt: float, ncycle: int):
+        """Window pick: first t with t1 > time + dt/2, clamped to the
+        last (imcgen2d.f:111-120; ncycle 0 always uses window 1)."""
+        t_avg = time + 0.5 * dt
+        if ncycle == 0:
+            idx = 0
+        else:
+            idx = min(
+                int(np.searchsorted(self.t1, t_avg, side="right")),
+                len(self.on) - 1,
+            )
+        return self.on[idx] if t_avg >= float(self.t0[idx]) else self.off[idx]
+
+
+def _spectrum_bank(cfg: SimConfig, scales: Scales, names):
+    """Load each distinct external-spectrum file once (file_sp,
+    imcsurf2d_para.f:544-685) into a padded (n_spec, nf) bank. Row 0 is
+    the dummy 'no file' row; flux is in scaled E/(L^2 s) units."""
+    from compton2d_tpu.io.legacy import external_spectrum
+
+    rows = []
+    for nm in names:
+        e_file, _, p_file, int_file = external_spectrum(
+            nm, cfg.source.external
+        )
+        rows.append(
+            (
+                np.asarray(e_file, np.float32),
+                np.asarray(p_file[: len(e_file)], np.float32),
+                float(int_file) * scales.L2 / scales.E,
+            )
+        )
+    nf = max([2] + [len(r[0]) for r in rows])
+    spec_e = np.ones((len(rows) + 1, nf), np.float32)
+    spec_cdf = np.ones((len(rows) + 1, nf), np.float32)
+    spec_cdf[0, 0] = 0.0
+    flux = np.zeros((len(rows) + 1,), np.float32)
+    for i, (e, p, fl) in enumerate(rows, start=1):
+        spec_e[i, : len(e)] = e
+        spec_e[i, len(e):] = e[-1]
+        spec_cdf[i, : len(p)] = p
+        flux[i] = fl
+    return jnp.asarray(spec_e), jnp.asarray(spec_cdf), flux
+
+
+def build_window_sources(cfg: SimConfig, scales: Scales) -> WindowSources:
+    """Build the full per-window SourceStatic sequence from the config
+    (reader.f:222-283: per-window per-ring temperatures + spectrum
+    files)."""
+    from compton2d_tpu.config import TimeWindow
+
     g = cfg.grid
-    if window is None:
-        tbb_l = np.zeros(g.nr)
-        tbb_u = np.zeros(g.nr)
-        tbb_i = np.zeros(g.nz)
-        tbb_o = np.zeros(g.nz)
-    else:
-        tbb_l = np.asarray(window.tbb_lower, float)
-        tbb_u = np.asarray(window.tbb_upper, float)
-        tbb_i = np.asarray(window.tbb_inner, float)
-        tbb_o = np.asarray(window.tbb_outer, float)
+    windows = cfg.windows or (
+        TimeWindow(
+            t0=0.0, t1=float("inf"),
+            tbb_upper=(0.0,) * g.nr, tbb_lower=(0.0,) * g.nr,
+            tbb_inner=(0.0,) * g.nz, tbb_outer=(0.0,) * g.nz,
+        ),
+    )
+    names: list = []
+    for w in windows:
+        for nm in tuple(w.lower_spectra) + tuple(w.upper_spectra):
+            if nm and nm not in names:
+                names.append(nm)
+    spec_e, spec_cdf, flux = _spectrum_bank(cfg, scales, names)
+    row_of = {nm: i + 1 for i, nm in enumerate(names)}
     star = cfg.physics
     dilution = (
         (star.r_star / star.dist_star) ** 2 if star.star_switch else 1.0
     )
-    return sourcing.SourceStatic(
-        tbb_lower=jnp.asarray(tbb_l),
-        tbb_upper=jnp.asarray(tbb_u),
-        tbb_inner=jnp.asarray(tbb_i),
-        tbb_outer=jnp.asarray(tbb_o),
-        file_e=jnp.ones((2,)),
-        file_cdf=jnp.zeros((2,)),
-        file_flux=jnp.zeros(()),
-        star_dilution=jnp.asarray(dilution),
+
+    def ring_rows(tbbs, specs, n):
+        idx = np.zeros((n,), np.int32)
+        fl = np.zeros((n,), np.float32)
+        specs = tuple(specs) + (None,) * n
+        for k in range(n):
+            if tbbs[k] < 0.0 and specs[k]:
+                idx[k] = row_of[specs[k]]
+                fl[k] = flux[idx[k]]
+        return idx, fl
+
+    on, off = [], []
+    for w in windows:
+        sl, fl_l = ring_rows(w.tbb_lower, w.lower_spectra, g.nr)
+        su, fl_u = ring_rows(w.tbb_upper, w.upper_spectra, g.nr)
+        src = sourcing.SourceStatic(
+            tbb_lower=jnp.asarray(np.asarray(w.tbb_lower, float)),
+            tbb_upper=jnp.asarray(np.asarray(w.tbb_upper, float)),
+            tbb_inner=jnp.asarray(np.asarray(w.tbb_inner, float)),
+            tbb_outer=jnp.asarray(np.asarray(w.tbb_outer, float)),
+            spec_e=spec_e,
+            spec_cdf=spec_cdf,
+            spec_lower=jnp.asarray(sl),
+            spec_upper=jnp.asarray(su),
+            flux_lower=jnp.asarray(fl_l),
+            flux_upper=jnp.asarray(fl_u),
+            star_dilution=jnp.asarray(dilution),
+        )
+        on.append(src)
+        off.append(
+            src._replace(
+                flux_lower=jnp.zeros_like(src.flux_lower),
+                flux_upper=jnp.zeros_like(src.flux_upper),
+            )
+            if (fl_l.any() or fl_u.any())
+            else src
+        )
+    return WindowSources(
+        t0=np.asarray([w.t0 for w in windows], float),
+        t1=np.asarray([w.t1 for w in windows], float),
+        on=tuple(on),
+        off=tuple(off),
     )
 
 
@@ -101,22 +203,24 @@ def source_static_with_spectrum(
     scales: Scales,
     spectrum_file: Optional[str] = None,
 ) -> sourcing.SourceStatic:
-    """SourceStatic with an external file-spectrum CDF attached
-    (file_sp, imcsurf2d_para.f:544-685). ``file_flux`` is stored in
-    scaled units E/(L^2 s)."""
-    from compton2d_tpu.io.legacy import external_spectrum
+    """SourceStatic for one window with a single spectrum file attached
+    to every tbb<0 ring (the pre-per-ring convenience API)."""
+    import dataclasses
 
-    base = _source_static(cfg, window)
-    if spectrum_file is None:
-        return base
-    e_file, _, p_file, int_file = external_spectrum(
-        spectrum_file, cfg.source.external
-    )
-    return base._replace(
-        file_e=jnp.asarray(e_file, jnp.float32),
-        file_cdf=jnp.asarray(p_file[: len(e_file)], jnp.float32),
-        file_flux=jnp.asarray(int_file * scales.L2 / scales.E, jnp.float32),
-    )
+    if window is not None and spectrum_file is not None:
+        window = dataclasses.replace(
+            window,
+            lower_spectra=tuple(
+                spectrum_file if t < 0.0 else None
+                for t in window.tbb_lower
+            ),
+            upper_spectra=tuple(
+                spectrum_file if t < 0.0 else None
+                for t in window.tbb_upper
+            ),
+        )
+    cfg2 = cfg.replace(windows=(window,) if window is not None else ())
+    return build_window_sources(cfg2, scales).on[0]
 
 
 def _estimate_energy_scale(cfg: SimConfig, zone_init: ZoneInit) -> float:
@@ -190,13 +294,13 @@ class Simulation:
             dne_pa=jnp.zeros((g.nz, g.nr, g.num_nt)),
             dnp_pa=jnp.zeros((g.nz, g.nr, g.num_nt)),
         )
-        self.src_static = (
-            source_static
-            if source_static is not None
-            else _source_static(
-                cfg, cfg.windows[0] if cfg.windows else None
-            )
-        )
+        if source_static is not None:
+            # explicit override: window switching disabled
+            self.window_sources: Optional[WindowSources] = None
+            self.src_static = source_static
+        else:
+            self.window_sources = build_window_sources(cfg, self.scales)
+            self.src_static = self.window_sources.select(0.0, dt0, 0)
         self.pair_tables = (
             build_pair_tables(cfg.grid, self.scales.L)
             if cfg.physics.pair_switch
@@ -301,6 +405,14 @@ class Simulation:
         return self
 
     def step(self) -> StepOutputs:
+        if self.window_sources is not None:
+            # per-step boundary-window pick by time + dt/2
+            # (imcgen2d.f:111-120); host-side, shapes fixed by the
+            # spectrum bank so this never recompiles the step
+            self.src_static = self.window_sources.select(
+                float(self.state.time), float(self.state.dt),
+                int(self.state.ncycle),
+            )
         self.state, out = self._step_jit(
             self.state, self.src_static, self.grid, self.tables
         )

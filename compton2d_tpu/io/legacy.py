@@ -203,6 +203,21 @@ def load_legacy_config(input_dir: str, **run_overrides) -> LegacyConfig:
         nmu=d["nmu"],
         lc_bands=tuple(d["lc_bands"]),
     )
+    def _resolve(name: str) -> str:
+        """Spectrum filenames in input.dat are relative to the run
+        directory (the parent of input/); accept either location."""
+        if not name or os.path.isabs(name):
+            return name
+        for cand in (
+            os.path.join(input_dir, name),
+            os.path.join(os.path.dirname(os.path.abspath(input_dir)),
+                         name),
+            name,
+        ):
+            if os.path.exists(cand):
+                return cand
+        return name
+
     windows = tuple(
         TimeWindow(
             t0=w["t0"], t1=w["t1"],
@@ -210,6 +225,16 @@ def load_legacy_config(input_dir: str, **run_overrides) -> LegacyConfig:
             tbb_upper=tuple(w["tbbu"]),
             tbb_inner=(0.0,) * nz,
             tbb_outer=(0.0,) * nz,
+            # per-ring per-window spectrum files (reader.f:228-246); the
+            # name line is only meaningful where tbb < 0
+            upper_spectra=tuple(
+                _resolve(w["ufn"][k]) if w["tbbu"][k] < 0.0 else None
+                for k in range(nr)
+            ),
+            lower_spectra=tuple(
+                _resolve(w["lfn"][k]) if w["tbbl"][k] < 0.0 else None
+                for k in range(nr)
+            ),
         )
         for w in d["windows"]
     )
@@ -267,14 +292,14 @@ def load_legacy_config(input_dir: str, **run_overrides) -> LegacyConfig:
             for name, val in zd.items():
                 getattr(z, name)[j, k] = val
 
-    # first file-spectrum boundary (if any)
+    # first file-spectrum boundary (back-compat convenience)
     spectrum_files = {}
     for w in d["windows"]:
         for k in range(nr):
             if w["tbbl"][k] < 0 and w["lfn"][k]:
-                spectrum_files.setdefault("lower", w["lfn"][k])
+                spectrum_files.setdefault("lower", _resolve(w["lfn"][k]))
             if w["tbbu"][k] < 0 and w["ufn"][k]:
-                spectrum_files.setdefault("upper", w["ufn"][k])
+                spectrum_files.setdefault("upper", _resolve(w["ufn"][k]))
 
     return LegacyConfig(
         cfg=cfg, zones=z,

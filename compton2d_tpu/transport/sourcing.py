@@ -36,6 +36,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from compton2d_tpu import constants as cn
 from compton2d_tpu.physics.planck import sample_planck
@@ -55,17 +56,24 @@ class SourceBudget(NamedTuple):
 
 
 class SourceStatic(NamedTuple):
-    """Per-window boundary data (device arrays, rebuilt when the
-    boundary-condition time window changes)."""
+    """Per-window boundary data (device arrays, rebuilt on the host when
+    the boundary-condition time window changes — the shapes are fixed by
+    the spectrum bank so swapping windows never recompiles the step)."""
 
     tbb_lower: jnp.ndarray   # (nr,) [keV]; <0 means file spectrum
     tbb_upper: jnp.ndarray   # (nr,)
     tbb_inner: jnp.ndarray   # (nz,)
     tbb_outer: jnp.ndarray   # (nz,)
-    # external file-spectrum sampling CDF (shared per boundary side)
-    file_e: jnp.ndarray      # (nf,) energy grid [keV]
-    file_cdf: jnp.ndarray    # (nf,) CDF (all-zero => unused)
-    file_flux: jnp.ndarray   # () integrated flux [erg/cm^2/s]
+    # external file-spectrum bank: every distinct spectrum file across
+    # all windows gets a row (padded to a common length); each boundary
+    # ring indexes its row (reader.f:231-241 allows a file per ring per
+    # side per window; file_sp builds the CDF, imcsurf2d_para.f:544-685)
+    spec_e: jnp.ndarray      # (n_spec, nf) energy grids [keV]
+    spec_cdf: jnp.ndarray    # (n_spec, nf) sampling CDFs
+    spec_lower: jnp.ndarray  # (nr,) int32 bank row per lower ring
+    spec_upper: jnp.ndarray  # (nr,) int32 bank row per upper ring
+    flux_lower: jnp.ndarray  # (nr,) integrated file flux [E/L^2/s]
+    flux_upper: jnp.ndarray  # (nr,)
     star_dilution: jnp.ndarray  # () (Rstar/dist)^2 or 1
 
 
@@ -88,14 +96,22 @@ def compute_budget(
     f32 = jnp.float32
     dt32 = dt.astype(f32)
 
-    def erin_of(tbb, area):
+    def erin_of(tbb, area, flux=None, dilution=None):
+        """erin = dt*A*sigma*T^4 for thermal rings (star dilution applies
+        to the thermal branch only, imcgen2d.f:161-163), or the per-ring
+        integrated file flux for tbb < 0 rings (imcgen2d.f:127-130)."""
         tbb = tbb.astype(f32)
         t4 = jnp.maximum(tbb, 0.0) ** 2
         bb = (dt32 * sigma_sb_scaled) * area.astype(f32) * t4 * t4
-        file_in = dt32 * area.astype(f32) * src.file_flux.astype(f32)
+        if dilution is not None:
+            bb = bb * dilution.astype(f32)
+        if flux is None:
+            file_in = jnp.zeros_like(bb)
+        else:
+            file_in = dt32 * area.astype(f32) * flux.astype(f32)
         return jnp.where(tbb > 0.0, bb, jnp.where(tbb < 0.0, file_in, 0.0))
 
-    erin_l = erin_of(src.tbb_lower, area_lower)
+    erin_l = erin_of(src.tbb_lower, area_lower, src.flux_lower)
     if dh_sentinel:
         # disk re-heating by absorbed flux (imcgen2d.f:178-183)
         erin_l = erin_l + jnp.where(
@@ -104,8 +120,9 @@ def compute_budget(
             / jnp.maximum(dt_prev.astype(f32), 1e-30),
             0.0,
         )
-    erin_u = erin_of(src.tbb_upper, area_upper) * src.star_dilution.astype(
-        f32
+    erin_u = erin_of(
+        src.tbb_upper, area_upper, src.flux_upper,
+        dilution=src.star_dilution,
     )
     erin_i = erin_of(src.tbb_inner, area_inner)
     erin_o = erin_of(src.tbb_outer, area_outer)
@@ -118,8 +135,11 @@ def compute_budget(
         + jnp.sum(erin_l) + jnp.sum(erin_u)
     )
 
-    # photon counts (imcgen2d.f:700-730): surfaces by area fraction,
-    # volume by energy fraction
+    # photon counts (imcgen2d.f:700-730): upper/lower rings by annulus
+    # area fraction (r_k^2 - r_{k-1}^2)/r_nr^2, inner/outer rows flat
+    # nst/nz, volume zones by energy fraction. (The reference only
+    # allocates surface photons where tbb<0 — it was run with file
+    # boundaries only; we also source thermal boundaries with erin > 0.)
     area_frac_l = area_lower / jnp.sum(area_lower)
     area_frac_u = area_upper / jnp.sum(area_upper)
     n_l = jnp.where(erin_l > 0.0, (nst * area_frac_l).astype(jnp.int32), 0)
@@ -329,13 +349,26 @@ def emit(
     e_planck = sample_planck(
         keys[9], jnp.maximum(tbb_here, 1e-6), dtype=jnp.float32
     )
-    # boundary file spectrum: inverse CDF
-    nf = src.file_e.shape[0]
-    fi = jnp.sum((src.file_cdf < u[10][:, None]).astype(jnp.int32), axis=1)
-    fi = jnp.clip(fi, 1, nf - 1)
+    # boundary file spectrum: per-ring inverse CDF from the bank
+    # (file_sample, imcsurf2d_para.f:694-788). Binary search with scalar
+    # gathers: O(log nf) (n,)-sized loads instead of an (n, nf) gather.
+    sid = jnp.where(
+        is_low, src.spec_lower[kr_s], src.spec_upper[kr_s]
+    ).astype(jnp.int32)
+    nf = src.spec_e.shape[1]
+    u_f = u[10]
+    lo = jnp.zeros((n,), jnp.int32)
+    hi = jnp.full((n,), nf, jnp.int32)
+    for _ in range(int(np.ceil(np.log2(max(nf, 2))))):
+        mid = (lo + hi) // 2
+        v = src.spec_cdf[sid, jnp.clip(mid, 0, nf - 1)]
+        go_hi = v < u_f
+        lo = jnp.where(go_hi, mid + 1, lo)
+        hi = jnp.where(go_hi, hi, mid)
+    fi = jnp.clip(lo, 1, nf - 1)
     e_file = (
-        src.file_e[fi - 1]
-        + u[8] * (src.file_e[fi] - src.file_e[fi - 1])
+        src.spec_e[sid, fi - 1]
+        + u[8] * (src.spec_e[sid, fi] - src.spec_e[sid, fi - 1])
     ).astype(jnp.float32)
     e_b = jnp.where(is_file, e_file, e_planck)
     e_new = jnp.where(is_vol, e_v, e_b)

@@ -25,7 +25,7 @@ def test_beamed_external_source_runs(tmp_path):
         GridConfig, PhysicsConfig, RunConfig, SimConfig, SourceConfig,
         TimeWindow, ZoneInit, ExternalRadiationConfig,
     )
-    from compton2d_tpu.driver import Simulation, source_static_with_spectrum
+    from compton2d_tpu.driver import Simulation
 
     path = str(tmp_path / "bb.in")
     diskgen.write_spectrum_file(path, gamma_bulk=10.0)
@@ -43,6 +43,7 @@ def test_beamed_external_source_runs(tmp_path):
         tbb_upper=(0.0,) * nr,
         tbb_inner=(0.0,) * nz,
         tbb_outer=(0.0,) * nz,
+        lower_spectra=(path,) * nr,
     )
     ext = ExternalRadiationConfig(
         R_blr=1e17, fr_blr=0.1, R_ir=1e18, fr_ir=0.3,
@@ -58,9 +59,6 @@ def test_beamed_external_source_runs(tmp_path):
     zi = ZoneInit.uniform(grid, tea=10.0, n_e=1e8, B_field=1.0, amxwl=0.1,
                           gmin=1e2, gmax=1e4, p_nth=2.4)
     sim = Simulation(cfg, zi)
-    sim.src_static = source_static_with_spectrum(
-        cfg, win, sim.scales, spectrum_file=path
-    )
     for _ in range(2):
         out = sim.step()
     # external photons are beamed up: most should escape the top
