@@ -230,6 +230,18 @@ class SourceConfig:
     # Russian-roulette relative weight floor (wtmin = wkth * ew_birth,
     # imctrk2d.f:81-91)
     weight_floor: float = 1.0e-10
+    # Stratified tail splitting: the in-flight analogue of the
+    # reference's split2/split3 scheme (imctrk2d.f:593-661). At each
+    # scatter in a zone whose electron tail above strat_gamma_c has
+    # probability p in (0, strat_p_max], the photon splits in two:
+    # the parent samples the electron from the sub-gamma_c stratum
+    # (weight fraction 1-p), a copy in a free slot samples from the
+    # tail stratum (weight fraction p). Exactly unbiased (unlike the
+    # reference's resample-until-big spl3 loop) and guarantees every
+    # scatter populates the deep-KN tail.
+    strat_split: bool = False
+    strat_gamma_c: float = 1.0e3   # tail stratum boundary [gamma]
+    strat_p_max: float = 0.5       # only stratify genuinely rare tails
     external: ExternalRadiationConfig = field(
         default_factory=ExternalRadiationConfig
     )
@@ -252,6 +264,13 @@ class RunConfig:
     max_flight_iters: int = 512  # bound on flight segments per step
     max_scatter_tries: int = 64  # bound on rejection-sampling rounds
     event_capacity: int = 1 << 16  # escaping-photon records per step
+    # census population control (replaces the reference's census
+    # hard-stop, general.pa:7 / imctrk2d.f:573-577): weight-preserving
+    # Russian roulette to census_rr_lo occupancy whenever alive slots
+    # exceed census_rr_hi, so fresh emission never starves
+    census_rr: bool = True
+    census_rr_hi: float = 0.85
+    census_rr_lo: float = 0.60
     # energy unit E0 [erg]: all device energies are stored / E0 (f32
     # range safety, see compton2d_tpu.units). None = auto-estimated from
     # the configuration at setup.

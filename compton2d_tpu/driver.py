@@ -32,6 +32,7 @@ from compton2d_tpu import constants as cn
 from compton2d_tpu.config import SimConfig, ZoneInit
 from compton2d_tpu.fp.update import FPResult, fp_step
 from compton2d_tpu.grid import Grid, initial_dt, make_grid
+from compton2d_tpu.physics.compton import SIGMA_T as compton_sigma_t
 from compton2d_tpu.physics.compton import zone_sigma_table
 from compton2d_tpu.physics.emissivity import equipartition_b, volume_em
 from compton2d_tpu.state import (
@@ -417,6 +418,23 @@ class Simulation:
             self.state, self.src_static, self.grid, self.tables
         )
         self.last_outputs = out
+        # surface event-record overflow (imcleak2d.f writes every escape;
+        # our per-step buffer is bounded — silence would bias LC/SEDs)
+        counts = np.atleast_1d(np.asarray(out.events.count))
+        cap = np.asarray(out.events.data).shape[0] // counts.shape[0]
+        dropped = int(np.sum(np.maximum(counts - cap, 0)))
+        if dropped:
+            self.n_events_dropped = (
+                getattr(self, "n_events_dropped", 0) + dropped
+            )
+            import warnings
+
+            warnings.warn(
+                f"step {int(self.state.ncycle)}: {dropped} escaping-photon"
+                f" event records dropped (buffer capacity {cap}); raise"
+                f" RunConfig.event_capacity", RuntimeWarning,
+                stacklevel=2,
+            )
         if getattr(self, "outputs", None) is not None:
             self.outputs.add_step(
                 out.tallies,
@@ -493,12 +511,21 @@ class Simulation:
         s = self.state
         esc = float(jnp.sum(o.tallies.fout)) * self.scales.E
         alive = int(jnp.sum(s.photons.alive))
+        extras = ""
+        if int(o.tallies.n_rr):
+            extras += f" rr={int(o.tallies.n_rr)}"
+        if float(o.tallies.e_src_lost):
+            extras += (
+                f" src_lost={float(o.tallies.e_src_lost) * self.scales.E:.2e}"
+            )
+        if getattr(self, "n_events_dropped", 0):
+            extras += f" evt_dropped={self.n_events_dropped}"
         return (
             f"cycle={int(s.ncycle)} t={float(s.time):.4e}s "
             f"dt={float(s.dt):.3e}s census={alive} "
             f"E_in={float(o.bingo) * self.scales.E:.4e} E_esc={esc:.4e} "
             f"Te[0,0]={float(s.zones.tea[0, 0]):.2f}keV "
-            f"dT_max={float(o.dT_max):.3f}"
+            f"dT_max={float(o.dT_max):.3f}" + extras
         )
 
     def energy_audit(self) -> dict:
@@ -520,9 +547,12 @@ class Simulation:
         src_lost = float(t.e_src_lost) * scale
         absorbed = deposited - scatter_gain
         e_in = float(o.bingo) * scale
-        # photon-side balance: (input - lost) + gain_from_electrons
-        #   = census + escaped + absorbed + killed
-        avail = e_in - src_lost + scatter_gain
+        e_rr = float(t.e_rr) * scale
+        # photon-side balance: (input - lost - rouletted) +
+        #   gain_from_electrons = census + escaped + absorbed + killed
+        # (bingo counts the pre-roulette census energy; e_rr is the
+        # realized roulette delta, zero in expectation)
+        avail = e_in - src_lost + scatter_gain - e_rr
         return {
             "input": e_in,
             "census": census,
@@ -531,6 +561,9 @@ class Simulation:
             "scatter_gain": scatter_gain,
             "killed": killed,
             "src_lost": src_lost,
+            "rr": e_rr,
+            "n_rr": int(t.n_rr),
+            "events_dropped": getattr(self, "n_events_dropped", 0),
             "balance": (census + escaped + absorbed + killed) / avail
             if avail > 0
             else float("nan"),
@@ -558,7 +591,7 @@ def _step_impl(
     if axis_name is not None:
         # independent stream per device (deterministic in device count)
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-    k_src, k_trk = jax.random.split(key)
+    k_src, k_trk, k_rr = jax.random.split(key, 3)
 
     def psum(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
@@ -607,6 +640,22 @@ def _step_impl(
         dh_sentinel=bool(phys.dh_sentinel),
         replicas=n_devices,
     )
+
+    # census population control (weight-window RR, replaces the
+    # reference's hard stop at ucens overflow, imctrk2d.f:573-577);
+    # sized by this step's actual emission count so fresh photons always
+    # find slots. bingo used the pre-roulette census energy, so the
+    # realized roulette delta e_rr enters the audit balance.
+    if run.census_rr:
+        from compton2d_tpu.transport.population import census_roulette
+
+        photons, e_rr, n_rr = census_roulette(
+            photons, k_rr, run.census_rr_hi, run.census_rr_lo,
+            n_reserve=budget.n_new,
+        )
+    else:
+        e_rr = jnp.zeros((), jnp.float32)
+        n_rr = jnp.zeros((), jnp.int32)
 
     # ---- 1b. pair physics from the previous census field ------------
     # (imcgen2d.f:354-396: normalize n_ph, smooth, kgg_calc, pairprod)
@@ -703,10 +752,41 @@ def _step_impl(
         p_ref_t=tables.p_ref.T,
         w_abs_t=tables.w_abs.T,
         tbbl_pos=src.tbb_lower > 0.0,
+        # 1/(n_eff sigma_T L F_tot): the stratified-scatter normalizer
+        # (Z = <sigma_KN ratio> under the sampled f/F_tot measure =
+        # sig_s * inv_nsigt; same quadrature as zone_sigma_table)
+        inv_nsigt=(
+            1.0
+            / jnp.maximum(
+                (
+                    zones.n_e * (1.0 + 2.0 * zones.f_pair)
+                    if phys.pair_switch
+                    else zones.n_e
+                ).reshape(-1).astype(jnp.float32)
+                * jnp.float32(compton_sigma_t * scales.L)
+                * jnp.sum(
+                    zones.f_nt[..., :-1] * jnp.diff(tables.gnt), axis=-1
+                ).reshape(-1).astype(jnp.float32),
+                1e-38,
+            )
+        ),
         time=state.time,
         dt=state.dt,
         inv_c=jnp.float32(scales.inv_c),
     )
+    if cfg.source.strat_split:
+        from compton2d_tpu.physics.electron_dist import gnt_grid
+
+        # gnt holds gamma-1; the grid is static given num_nt, so the
+        # cut index is computed host-side (tables.gnt is traced here)
+        strat_icut = int(
+            np.searchsorted(
+                gnt_grid(g.num_nt), cfg.source.strat_gamma_c - 1.0
+            )
+        )
+        strat_icut = min(max(strat_icut, 1), g.num_nt - 1)
+    else:
+        strat_icut = 0
     st = TrackStatics(
         nz=nz, nr=nr,
         cr_sent=phys.cr_sent,
@@ -716,6 +796,9 @@ def _step_impl(
         max_scatter_tries=run.max_scatter_tries,
         weight_floor=cfg.source.weight_floor,
         spec_switch=phys.spec_switch,
+        strat_split=cfg.source.strat_split,
+        strat_icut=strat_icut,
+        strat_p_max=cfg.source.strat_p_max,
     )
 
     tallies = Tallies.zeros(
@@ -724,7 +807,9 @@ def _step_impl(
     events = EventBuffer.empty(run.event_capacity)
 
     tallies = tallies._replace(
-        e_src_lost=tallies.e_src_lost + e_src_lost
+        e_src_lost=tallies.e_src_lost + e_src_lost,
+        e_rr=tallies.e_rr + e_rr,
+        n_rr=tallies.n_rr + n_rr,
     )
     n_tracked = psum(
         jnp.sum(photons.alive.astype(jnp.int32)).astype(jnp.int32)

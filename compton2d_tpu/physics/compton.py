@@ -26,6 +26,7 @@ import numpy as np
 from compton2d_tpu import constants as cn
 
 _SIGMA_T = 6.65e-25  # cm^2; the reference's value (comtot2d.f:162)
+SIGMA_T = _SIGMA_T   # public alias (must match the sigma_e tables)
 
 
 def dilog_neg(x):

@@ -103,9 +103,11 @@ class Tallies(NamedTuple):
     erlk_lower: jnp.ndarray  # (nr,)
     ed_in: jnp.ndarray     # (nr,) energy incident on lower boundary
     ed_ref: jnp.ndarray    # (nr,) energy Compton-reflected at lower bnd
-    e_killed: jnp.ndarray  # () energy lost to Russian-roulette kills
+    e_killed: jnp.ndarray  # () energy lost to weight-floor kills
     e_scatter: jnp.ndarray  # () net photon energy gained from electrons
     e_src_lost: jnp.ndarray  # () source energy lost to slot overflow
+    e_rr: jnp.ndarray      # () realized census-roulette energy delta
+    n_rr: jnp.ndarray      # () int32 census photons rouletted away
 
     @classmethod
     def zeros(cls, nz, nr, num_nt, nphfield, n_gg, nmu, nphtotal, nph_lc):
@@ -124,6 +126,8 @@ class Tallies(NamedTuple):
             e_killed=f(()),
             e_scatter=f(()),
             e_src_lost=f(()),
+            e_rr=f(()),
+            n_rr=jnp.zeros((), jnp.int32),
         )
 
 

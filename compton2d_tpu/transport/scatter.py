@@ -186,10 +186,79 @@ def scatter(
         k1, znu, draw_electron, max_tries, need
     )
     sz = _sample_sz(k2, znue, max_tries, need)
+    return _finish_scatter(
+        (k3, k4, k5), znu, mu, cphi, sphi,
+        gamma, beta, omeg, znue, sz, i_gam,
+    )
+
+
+def scatter_stratified(
+    key: jax.Array,
+    e_kev: jnp.ndarray,
+    mu: jnp.ndarray,
+    cphi: jnp.ndarray,
+    sphi: jnp.ndarray,
+    cdf_rows: jnp.ndarray,
+    gnt: jnp.ndarray,
+    u_lo: jnp.ndarray,        # (n,) electron-CDF stratum bounds
+    u_hi: jnp.ndarray,
+    inv_z: jnp.ndarray,       # (n,) 1/Z = n_eff sigma_T L / sigma_zone(E)
+    max_tries: int = 64,
+    need: jnp.ndarray | None = None,
+) -> ScatterResult:
+    """Weighted (rejection-free) scatter for stratified tail splitting.
+
+    The target electron conditional given a scattering event is
+    p(gamma, omega | scat) ∝ f(gamma) * flux(omega) * sigma_KN(znue)
+    with normalizer Z = <sigma_KN-ratio> = sigma_zone(E)/(n_eff sigma_T)
+    — exactly the per-zone macroscopic table the tracker already
+    interpolates. Instead of the reference's acceptance-rejection on
+    sigma_KN (compb_2d.f:75-93) this draws gamma by inverse CDF
+    *restricted to* [u_lo, u_hi) and omega from the flux measure, and
+    carries the measure correction sigma_KN-ratio(znue)/Z in ``wscale``.
+    Unbiased for any stratum: the caller supplies the stratum
+    probability P(S) = u_hi - u_lo as the split weight fraction.
+
+    This replaces the reference's biased spl3 re-sampling loop
+    (imctrk2d.f:629-661 resamples until the upscatter is large) with an
+    exact zero-bias scheme that guarantees tail coverage.
+    """
+    znu = (e_kev / cn.EMASS_KEV).astype(jnp.float32)
+    n = znu.shape[0]
+    if need is None:
+        need = jnp.ones((n,), bool)
+    k1a, k1b, k1c, k2, k3, k4, k5 = jax.random.split(key, 7)
+
+    u_e = u_lo + jax.random.uniform(k1a, (n,), jnp.float32) * jnp.maximum(
+        u_hi - u_lo, 0.0
+    )
+    gamma, beta, i_gam = _draw_from_cdf(u_e, cdf_rows, gnt)
+    om = 2.0 * jax.random.uniform(k1b, (n,), jnp.float32) - 1.0
+    om = jnp.clip(om, -_CLAMP, _CLAMP)
+    tl = jax.random.uniform(k1c, (n,), jnp.float32)
+    om = jnp.clip(
+        jnp.where(tl > 0.5 * (1.0 - beta * om), -om, om), -_CLAMP, _CLAMP
+    )
+    znue = jnp.maximum((1.0 - beta * om) * znu * gamma, 1e-10)
+    w_kn = _kn_ratio_f32(znue) * inv_z
+
+    sz = _sample_sz(k2, znue, max_tries, need)
+    res = _finish_scatter(
+        (k3, k4, k5), znu, mu, cphi, sphi,
+        gamma, beta, om, znue, sz, i_gam,
+    )
+    return res._replace(wscale=res.wscale * w_kn)
+
+
+def _finish_scatter(keys, znu, mu, cphi, sphi, gamma, beta, omeg, znue,
+                    sz, i_gam) -> ScatterResult:
+    """Stages 5-6 (compb_2d.f:111-239): electron-frame angles, boost to
+    lab, new direction cosines and azimuth, weight scale E'/E."""
+    k3, k4, k5 = keys
+    n = znu.shape[0]
     znues = znue * sz
 
     # electron-frame angles (compb_2d.f:111-132)
-    n = znu.shape[0]
     a1 = jnp.pi * (
         2.0 * jax.random.uniform(k3, (n,), jnp.float32) - 1.0
     )

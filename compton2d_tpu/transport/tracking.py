@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from compton2d_tpu import constants as cn
 from compton2d_tpu.state import EventBuffer, PhotonArray, Tallies
 from compton2d_tpu.transport import geometry as geo
-from compton2d_tpu.transport.scatter import scatter
+from compton2d_tpu.transport.scatter import scatter, scatter_stratified
 
 
 @dataclass(frozen=True)
@@ -60,6 +60,12 @@ class TrackStatics:
     weight_floor: float = 1.0e-10
     upper_escape_mu_cut: float = 0.98   # imcleak2d.f:303 event filter
     spec_switch: int = 0                # imcleak2d.f:53-58
+    # stratified tail splitting (SourceConfig.strat_split; the TPU-native
+    # replacement for imctrk2d.f:593-661 split2/spl3)
+    strat_split: bool = False
+    strat_icut: int = 0                 # gnt index of the tail boundary
+    strat_p_min: float = 1.0e-6
+    strat_p_max: float = 0.5
     # staged-compaction schedule: full width for phase0_iters, then
     # width n/div for the paired iteration budget, remainder at the
     # narrowest width (see transport_step docstring). Off by default:
@@ -95,6 +101,8 @@ class TrackContext(NamedTuple):
     p_ref_t: jnp.ndarray       # (n_ref_in, n_ref_out) = P_ref transposed
     w_abs_t: jnp.ndarray       # (n_ref_in, n_ref_out)
     tbbl_pos: jnp.ndarray      # (nr,) bool: lower bnd thermal this window
+    inv_nsigt: jnp.ndarray     # (nz*nr,) 1/(n_eff sigma_T L) for the
+                               # stratified-scatter normalizer
     time: jnp.ndarray          # () f32 [s]
     dt: jnp.ndarray            # () f32 [s]
     inv_c: jnp.ndarray         # () f32 seconds per scaled length (L/c)
@@ -363,30 +371,114 @@ def _flight_phase(
         # none scattering) skip the CDF gather + rejection loops
         sct = upd & (ikind == 3) & ph.alive
 
-        def do_scatter(ph, tl):
-            cdf_rows = ctx.cdf_nt[zid]
-            res = scatter(
-                k_scat, ph.e, ph.mu, ph.cphi, ph.sphi, cdf_rows,
-                ctx.gnt, max_tries=st.max_scatter_tries, need=sct,
-            )
-            w_old = ph.w
-            w_new = ph.w * res.wscale
-            d_e = jnp.where(sct, w_new - w_old, 0.0)
-            tl = tl._replace(
-                edep=tl.edep.reshape(-1).at[zid].add(
-                    d_e, mode="drop"
-                ).reshape(st.nz, st.nr),
-                e_ic=tl.e_ic.at[res.i_gam].add(d_e, mode="drop"),
-                e_scatter=tl.e_scatter + jnp.sum(d_e),
-            )
-            ph = ph._replace(
-                e=jnp.where(sct, res.e, ph.e),
-                w=jnp.where(sct, w_new, ph.w),
-                mu=jnp.where(sct, res.mu, ph.mu),
-                cphi=jnp.where(sct, res.cphi, ph.cphi),
-                sphi=jnp.where(sct, res.sphi, ph.sphi),
-            )
-            return ph, tl
+        if st.strat_split:
+            # stratified tail splitting (the unbiased analogue of the
+            # split2/spl3 scheme, imctrk2d.f:593-661): parent samples
+            # the electron stratum below gamma_c, a copy in a free slot
+            # samples the tail stratum with weight fraction p_tail
+            def do_scatter(ph, tl):
+                cdf_rows = ctx.cdf_nt[zid]
+                c = cdf_rows[:, st.strat_icut]
+                p_tail = jnp.clip(1.0 - c, 0.0, 1.0)
+                want = (
+                    sct
+                    & (p_tail > st.strat_p_min)
+                    & (p_tail <= st.strat_p_max)
+                )
+                free = ~ph.alive
+                cfree = jnp.cumsum(free.astype(jnp.int32))
+                n_free = cfree[-1]
+                rank = jnp.cumsum(want.astype(jnp.int32)) - 1
+                placed = want & (rank < n_free)
+                slot = jnp.searchsorted(
+                    cfree, rank + 1, side="left"
+                ).astype(jnp.int32)
+                slot_w = jnp.where(placed, slot, n)
+
+                # 1/Z with Z = <sigma_KN ratio> = sig_s/(n_eff sigT L)
+                inv_z = 1.0 / jnp.maximum(
+                    sig_s * ctx.inv_nsigt[zid], 1e-30
+                )
+                u_hi_par = jnp.where(placed, c, 1.0)
+                res_p = scatter_stratified(
+                    k_scat, ph.e, ph.mu, ph.cphi, ph.sphi, cdf_rows,
+                    ctx.gnt, u_lo=jnp.zeros_like(c), u_hi=u_hi_par,
+                    inv_z=inv_z, max_tries=st.max_scatter_tries,
+                    need=sct,
+                )
+                res_c = scatter_stratified(
+                    jax.random.fold_in(k_scat, 1), ph.e, ph.mu,
+                    ph.cphi, ph.sphi, cdf_rows, ctx.gnt,
+                    u_lo=c, u_hi=jnp.ones_like(c), inv_z=inv_z,
+                    max_tries=st.max_scatter_tries, need=placed,
+                )
+                w_pre_p = jnp.where(placed, ph.w * (1.0 - p_tail), ph.w)
+                w_new_p = w_pre_p * res_p.wscale
+                w_pre_c = ph.w * p_tail
+                w_new_c = w_pre_c * res_c.wscale
+                d_e_p = jnp.where(sct, w_new_p - w_pre_p, 0.0)
+                d_e_c = jnp.where(placed, w_new_c - w_pre_c, 0.0)
+                tl = tl._replace(
+                    edep=tl.edep.reshape(-1).at[zid].add(
+                        d_e_p + d_e_c, mode="drop"
+                    ).reshape(st.nz, st.nr),
+                    e_ic=tl.e_ic.at[res_p.i_gam].add(
+                        d_e_p, mode="drop"
+                    ).at[res_c.i_gam].add(d_e_c, mode="drop"),
+                    e_scatter=tl.e_scatter
+                    + jnp.sum(d_e_p) + jnp.sum(d_e_c),
+                )
+                ph = ph._replace(
+                    e=jnp.where(sct, res_p.e, ph.e),
+                    w=jnp.where(sct, w_new_p, ph.w),
+                    mu=jnp.where(sct, res_p.mu, ph.mu),
+                    cphi=jnp.where(sct, res_p.cphi, ph.cphi),
+                    sphi=jnp.where(sct, res_p.sphi, ph.sphi),
+                )
+
+                def put(arr, vals):
+                    return arr.at[slot_w].set(vals, mode="drop")
+
+                ph = ph._replace(
+                    e=put(ph.e, res_c.e),
+                    w=put(ph.w, w_new_c),
+                    w0=put(ph.w0, jnp.maximum(w_new_c, 1e-30)),
+                    r=put(ph.r, ph.r),
+                    z=put(ph.z, ph.z),
+                    mu=put(ph.mu, res_c.mu),
+                    cphi=put(ph.cphi, res_c.cphi),
+                    sphi=put(ph.sphi, res_c.sphi),
+                    dcen=put(ph.dcen, ph.dcen),
+                    jz=put(ph.jz, ph.jz),
+                    kr=put(ph.kr, ph.kr),
+                    alive=put(ph.alive, placed),
+                )
+                return ph, tl
+        else:
+            def do_scatter(ph, tl):
+                cdf_rows = ctx.cdf_nt[zid]
+                res = scatter(
+                    k_scat, ph.e, ph.mu, ph.cphi, ph.sphi, cdf_rows,
+                    ctx.gnt, max_tries=st.max_scatter_tries, need=sct,
+                )
+                w_old = ph.w
+                w_new = ph.w * res.wscale
+                d_e = jnp.where(sct, w_new - w_old, 0.0)
+                tl = tl._replace(
+                    edep=tl.edep.reshape(-1).at[zid].add(
+                        d_e, mode="drop"
+                    ).reshape(st.nz, st.nr),
+                    e_ic=tl.e_ic.at[res.i_gam].add(d_e, mode="drop"),
+                    e_scatter=tl.e_scatter + jnp.sum(d_e),
+                )
+                ph = ph._replace(
+                    e=jnp.where(sct, res.e, ph.e),
+                    w=jnp.where(sct, w_new, ph.w),
+                    mu=jnp.where(sct, res.mu, ph.mu),
+                    cphi=jnp.where(sct, res.cphi, ph.cphi),
+                    sphi=jnp.where(sct, res.sphi, ph.sphi),
+                )
+                return ph, tl
 
         ph, tl = jax.lax.cond(
             jnp.any(sct), do_scatter, lambda ph, tl: (ph, tl), ph, tl
