@@ -164,7 +164,10 @@ class PhysicsConfig:
     # Compton reflection sentinel (reader.f:476-486):
     # 0 none; 1 lower boundary; 2 outer disk; 3 both; 4 mirror lower bnd.
     cr_sent: int = 0
-    upper_sent: int = 0         # reflecting upper boundary (unused in ref)
+    # upper_sent: parsed for config parity only — the reference reads it
+    # but its reflecting-upper-boundary branch is commented out
+    # (imcleak2d.f:286), so it has no effect here either.
+    upper_sent: int = 0
     dh_sentinel: int = 0        # disk re-heating by absorbed flux
     pair_switch: int = 0        # gamma-gamma pair production
     t_const: bool = False       # freeze electron temperatures (no FP solve)

@@ -13,10 +13,12 @@ graphics_collect) disappears: zone state is replicated, photons are a
 device-shardable batch axis, tallies reduce with psum (see
 compton2d_tpu.parallel).
 
-Time stepping matches the active reference behavior: dt is constant
-(the adaptive dt_new of update2d.f:232-261 is computed but not applied
-there — xec2d.f:100-106 only ever advances time by the fixed dt);
-``RunConfig``/`PhysicsConfig`` can opt in to the adaptive step.
+Time stepping matches the active reference behavior: dt is constant —
+the adaptive dt_new of update2d.f:232-243 is dead code there (the
+``dt(1) =`` updates are commented out, update2d.f:248-261, and
+xec2d.f:100-106 only ever advances time by the fixed dt). We
+deliberately do the same; FPResult still reports dT_max so a future
+adaptive mode has the signal it needs.
 """
 from __future__ import annotations
 
@@ -65,6 +67,9 @@ class StepOutputs(NamedTuple):
     dT_max: jnp.ndarray
     fp_substeps: jnp.ndarray
     n_tracked: jnp.ndarray    # () photons tracked this step (histories)
+    nph_raw: jnp.ndarray      # (nz, nr, n_gg) gamma-gamma field before
+                              # smoothing (n_ph1.dat, imcgen2d.f:198-201)
+    nph_fit: jnp.ndarray      # (nz, nr, n_gg) after nph_smooth (n_ph2)
 
 
 class WindowSources(NamedTuple):
@@ -351,18 +356,15 @@ class Simulation:
                 dT_max=jnp.zeros(()),
                 fp_substeps=jnp.zeros((), jnp.int32),
                 n_tracked=jnp.zeros((), jnp.int32),
+                nph_raw=jnp.zeros(()),
+                nph_fit=jnp.zeros(()),
             )
+            # everything replicated (psum'd inside) except the
+            # per-device event buffers
             out_specs = (
                 pmesh.simstate_specs(self.state),
-                dummy_out._replace(
+                pmesh.replicated_specs(dummy_out)._replace(
                     events=pmesh.sharded_specs(dummy_out.events),
-                    **{
-                        f: pmesh.replicated_specs(getattr(dummy_out, f))
-                        for f in (
-                            "tallies", "bingo", "e_el_old", "e_el_new",
-                            "dT_max", "fp_substeps", "n_tracked",
-                        )
-                    },
                 ),
             )
             in_specs = (
@@ -383,6 +385,32 @@ class Simulation:
                 out_specs=out_specs,
             )
             self._step_jit = jax.jit(fn)
+            if pmesh.is_multiprocess(mesh):
+                # multi-process meshes need global jax.Arrays up front
+                # (every process computed the identical initial state)
+                self.state = pmesh.put_global(
+                    self.state, pmesh.simstate_specs(self.state), mesh
+                )
+                self.grid = pmesh.put_global(
+                    self.grid, pmesh.replicated_specs(self.grid), mesh
+                )
+                self.tables = pmesh.put_global(
+                    self.tables, pmesh.replicated_specs(self.tables),
+                    mesh,
+                )
+                self.src_static = pmesh.put_global(
+                    self.src_static,
+                    pmesh.replicated_specs(self.src_static), mesh,
+                )
+                if self.window_sources is not None:
+                    ws = self.window_sources
+                    rep = lambda s: pmesh.put_global(
+                        s, pmesh.replicated_specs(s), mesh
+                    )
+                    self.window_sources = ws._replace(
+                        on=tuple(rep(s) for s in ws.on),
+                        off=tuple(rep(s) for s in ws.off),
+                    )
         self.last_outputs: Optional[StepOutputs] = None
 
     def attach_outputs(self, out_dir: str, event_file: str = "evb.dat"):
@@ -418,24 +446,11 @@ class Simulation:
             self.state, self.src_static, self.grid, self.tables
         )
         self.last_outputs = out
-        # surface event-record overflow (imcleak2d.f writes every escape;
-        # our per-step buffer is bounded — silence would bias LC/SEDs)
-        counts = np.atleast_1d(np.asarray(out.events.count))
-        cap = np.asarray(out.events.data).shape[0] // counts.shape[0]
-        dropped = int(np.sum(np.maximum(counts - cap, 0)))
-        if dropped:
-            self.n_events_dropped = (
-                getattr(self, "n_events_dropped", 0) + dropped
-            )
-            import warnings
-
-            warnings.warn(
-                f"step {int(self.state.ncycle)}: {dropped} escaping-photon"
-                f" event records dropped (buffer capacity {cap}); raise"
-                f" RunConfig.event_capacity", RuntimeWarning,
-                stacklevel=2,
-            )
         if getattr(self, "outputs", None) is not None:
+            # writing already syncs; account event-buffer overflow here
+            # (without attached outputs, _check_event_overflow() runs in
+            # summary()/energy_audit() so the loss is never silent)
+            self._check_event_overflow(out)
             self.outputs.add_step(
                 out.tallies,
                 float(self.state.time) - float(self.state.dt_prev),
@@ -506,11 +521,37 @@ class Simulation:
         )
 
     # ---------------- diagnostics -----------------------------------
+    def _check_event_overflow(self, out) -> int:
+        """Surface escaping-photon records dropped beyond the per-step
+        buffer (the reference writes every escape, imcleak2d.f:181;
+        silent loss would bias LC/SED tails). Syncs on the small count
+        vector — called only from paths that sync anyway."""
+        if getattr(self, "_overflow_checked", None) is out:
+            return getattr(self, "n_events_dropped", 0)
+        self._overflow_checked = out
+        counts = np.atleast_1d(np.asarray(out.events.count))
+        cap = out.events.data.shape[0] // counts.shape[0]
+        dropped = int(np.sum(np.maximum(counts - cap, 0)))
+        if dropped:
+            self.n_events_dropped = (
+                getattr(self, "n_events_dropped", 0) + dropped
+            )
+            import warnings
+
+            warnings.warn(
+                f"step {int(self.state.ncycle)}: {dropped} escaping-"
+                f"photon event records dropped (buffer capacity {cap}); "
+                f"raise RunConfig.event_capacity", RuntimeWarning,
+                stacklevel=2,
+            )
+        return getattr(self, "n_events_dropped", 0)
+
     def summary(self) -> str:
         o = self.last_outputs
         s = self.state
         esc = float(jnp.sum(o.tallies.fout)) * self.scales.E
         alive = int(jnp.sum(s.photons.alive))
+        self._check_event_overflow(o)
         extras = ""
         if int(o.tallies.n_rr):
             extras += f" rr={int(o.tallies.n_rr)}"
@@ -563,7 +604,7 @@ class Simulation:
             "src_lost": src_lost,
             "rr": e_rr,
             "n_rr": int(t.n_rr),
-            "events_dropped": getattr(self, "n_events_dropped", 0),
+            "events_dropped": self._check_event_overflow(o),
             "balance": (census + escaped + absorbed + killed) / avail
             if avail > 0
             else float("nan"),
@@ -605,15 +646,16 @@ def _step_impl(
         )
     )
     # previous-step census energy per zone, for the budget
+    from compton2d_tpu.transport.tracking import zone_accum
+
     zid = (
         jnp.clip(photons.jz, 0, nz - 1) * nr
         + jnp.clip(photons.kr, 0, nr - 1)
     )
     ecens_prev = psum(
-        jnp.zeros((nz * nr,))
-        .at[zid]
-        .add(jnp.where(photons.alive, photons.w, 0.0))
-        .reshape(nz, nr)
+        zone_accum(
+            jnp.where(photons.alive, photons.w, 0.0), zid, nz * nr
+        ).reshape(nz, nr)
     )
 
     # ---- 1. zone pass (imcgen2d): B, emissivities, budget -----------
@@ -662,16 +704,14 @@ def _step_impl(
     if phys.pair_switch and pair_tables is not None:
         from compton2d_tpu.physics import pairs as pair_mod
 
+        from compton2d_tpu.transport.tracking import loggrid_bin
+
         ngg = g.n_gg
         egg32 = tables.e_gg.astype(jnp.float32)
-        xg = (
-            jnp.log(jnp.maximum(photons.e, 1e-30))
-            - jnp.log(tables.e_gg[0]).astype(jnp.float32)
-        ) / jnp.log(tables.e_gg[1] / tables.e_gg[0]).astype(jnp.float32)
-        gbin = jnp.clip(jnp.floor(xg).astype(jnp.int32), 0, ngg - 1)
-        in_gg = photons.e > (
-            tables.e_gg[0] ** 2 / tables.e_gg[1]
-        ).astype(jnp.float32)
+        gbin, in_gg = loggrid_bin(
+            photons.e, jnp.log(tables.e_gg[0]),
+            jnp.log(tables.e_gg[1] / tables.e_gg[0]), ngg,
+        )
         cnts = jnp.where(
             photons.alive & in_gg,
             photons.w / jnp.maximum(photons.e, 1e-30),
@@ -691,9 +731,11 @@ def _step_impl(
             / grid.vol.reshape(-1, 1).astype(jnp.float32)
             / de_gg[None, :]
         )
+        nph_raw = nph_phys.reshape(nz, nr, ngg)   # n_ph1.dat dump
         nph_phys = pair_mod.nph_smooth(
             nph_phys, egg32, zones.tea.reshape(-1).astype(jnp.float32)
         )
+        nph_fit = nph_phys.reshape(nz, nr, ngg)   # n_ph2.dat dump
         k_gg_new = (nph_phys @ pair_tables.kgg_mat.T).reshape(
             nz, nr, ngg
         )
@@ -712,6 +754,9 @@ def _step_impl(
             dne_pa=dne_pa_new.reshape(nz, nr, -1),
             dnp_pa=dnp_pa_new.reshape(nz, nr, -1),
         )
+    else:
+        nph_raw = jnp.zeros((nz, nr, g.n_gg))
+        nph_fit = nph_raw
 
     # ---- 2. emit new photons ----------------------------------------
     photons, e_src_lost = sourcing.emit(
@@ -733,8 +778,7 @@ def _step_impl(
     ctx = TrackContext(
         r_edges=grid.r_edges.astype(jnp.float32),
         z_edges=grid.z_edges.astype(jnp.float32),
-        sigma_zone=sigma_zone,
-        kappa_zone=kappa_zone,
+        opac_zone=jnp.stack([sigma_zone, kappa_zone], axis=-1),
         kgg_zone=kgg_zone,
         cdf_nt=cdf_rows,
         gnt=tables.gnt,
@@ -900,6 +944,8 @@ def _step_impl(
         dT_max=dT_max,
         fp_substeps=fp_sub,
         n_tracked=n_tracked,
+        nph_raw=nph_raw,
+        nph_fit=nph_fit,
     )
     return new_state, out
 
@@ -934,3 +980,16 @@ def write_diagnostics(sim: "Simulation", out_dir: str):
             os.path.join(out_dir, "eic.dat"), t.gnt,
             sim.last_outputs.tallies.e_ic, sim.scales.E,
         )
+        outs.write_esp(
+            os.path.join(out_dir, "esp.dat"), t.gnt,
+            sim.last_outputs.tallies.n_esp,
+        )
+        if sim.cfg.physics.pair_switch:
+            outs.write_nph(
+                os.path.join(out_dir, "n_ph1.dat"), t.e_gg,
+                sim.last_outputs.nph_raw,
+            )
+            outs.write_nph(
+                os.path.join(out_dir, "n_ph2.dat"), t.e_gg,
+                sim.last_outputs.nph_fit,
+            )

@@ -208,22 +208,44 @@ def fp_step(
             n_inject = n_inject + inj_rho
         if inj.switch != 0:
             if inj.distribution == 1:
-                prof = gauss_prof
+                prof = jnp.broadcast_to(gauss_prof[None, :], (Z, num_nt))
             else:
-                yv = gamma / inj.g2
+                if inj.g2var_switch:
+                    # growing upper cutoff (update2d.f:1262-1269):
+                    # g2var = g2 * 10^((time + t_fp - t0) * v / z_max),
+                    # i.e. one decade over the full front crossing
+                    ttz = (time + t_fp - inj.t_start).astype(f32)
+                    g2z = inj.g2 * 10.0 ** jnp.clip(
+                        ttz * jnp.float32(inj.v / z_max), 0.0, 6.0
+                    )
+                    yv = gamma[None, :] / g2z[:, None]
+                else:
+                    yv = jnp.broadcast_to(
+                        gamma[None, :] / inj.g2, (Z, num_nt)
+                    )
                 prof = jnp.where(
-                    (gamma > inj.g1) & (yv < 100.0),
-                    gamma ** (-inj.p) * jnp.exp(-jnp.minimum(yv, 100.0)),
+                    (gamma[None, :] > inj.g1) & (yv < 100.0),
+                    gamma[None, :] ** (-inj.p)
+                    * jnp.exp(-jnp.minimum(yv, 100.0)),
                     0.0,
-                ).at[-1].set(0.0)
-            inj_sum = jnp.maximum(jnp.sum(prof * wdg), 1e-30)
-            inj_e_mean = jnp.sum(prof * gamma * wdg) / inj_sum
+                )
+                prof = prof.at[:, -1].set(0.0)
+            inj_sum = jnp.maximum(
+                jnp.sum(prof * wdg[None, :], axis=-1, keepdims=True),
+                1e-30,
+            )                                           # (Z, 1)
+            inj_e_mean = jnp.sum(
+                prof * gamma[None, :] * wdg[None, :], axis=-1
+            ) / inj_sum[:, 0]                           # (Z,)
             # shock front crosses zone row j during
-            # (time-t0) in [dz/v*(j-1), dz/v*j] (update2d.f:1251-1253)
+            # (time-t0) in [dz/v*(j-1), dz/v*j] (update2d.f:1251-1253);
+            # dz is in scaled L units -> convert to cm for the crossing
+            # time against inj.v [cm/s]
+            t_row = dz * jnp.float32(scales.L) / jnp.float32(inj.v)
             jidx = jnp.arange(nz)[:, None] * jnp.ones((1, nr))
             tt = time + t_fp.reshape(nz, nr) - inj.t_start
             active = (
-                (tt > dz / inj.v * jidx) & (tt < dz / inj.v * (jidx + 1))
+                (tt > t_row * jidx) & (tt < t_row * (jidx + 1))
             ).reshape(Z)
             # injection normalized to the swept z-slab volume
             # pi r_max^2 dz (update2d.f:1286); luminosity folded with
@@ -231,9 +253,13 @@ def fp_step(
             slab_vol = jnp.sum(volume) / nz
             lum_fold = float(inj.luminosity) / (8.186e-7 * scales.L3)
             inj_rate = lum_fold / jnp.maximum(inj_e_mean * slab_vol, 1e-30)
-            inj_rho = jnp.where(active, inj_rate * d_t, 0.0)
+            # no injection when the profile is unrepresentable on the
+            # gamma grid (g1 above gnt[-1]): inj_sum ~ 0 would otherwise
+            # blow the rate up through the floor
+            ok_inj = inj_sum[:, 0] > 1e-20
+            inj_rho = jnp.where(active & ok_inj, inj_rate * d_t, 0.0)
             f_inj = f_inj + (
-                inj_rho[:, None] * prof[None, :] / inj_sum
+                inj_rho[:, None] * prof / inj_sum
                 / jnp.maximum(ne, 1e-30)[:, None]
             )
             n_inject = n_inject + inj_rho

@@ -25,14 +25,28 @@ from typing import List, Optional
 import numpy as np
 
 
+def _to_host(arr) -> np.ndarray:
+    """Materialize a (possibly multi-process sharded) jax array's
+    LOCAL data: in a multi-process run each host spools only its own
+    addressable shards (the analogue of the reference's per-rank
+    pNNN_evb.dat files)."""
+    if hasattr(arr, "is_fully_addressable") and not arr.is_fully_addressable:
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(arr)
+
+
 def buffer_to_numpy(events, energy_scale: float) -> np.ndarray:
     """Extract valid records as (n, 7) float64, weights converted to erg.
 
     ``events.data`` may be the per-device-stacked global array from a
-    sharded run: shape (ndev*cap, 7) with counts (ndev,).
+    sharded run: shape (ndev*cap, 7) with counts (ndev,). In a
+    multi-process run only the local devices' records are returned.
     """
-    data = np.asarray(events.data, np.float64)
-    counts = np.atleast_1d(np.asarray(events.count))
+    data = np.asarray(_to_host(events.data), np.float64)
+    counts = np.atleast_1d(_to_host(events.count))
     ndev = counts.shape[0]
     cap = data.shape[0] // ndev
     rows: List[np.ndarray] = []

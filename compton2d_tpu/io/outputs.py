@@ -186,3 +186,25 @@ def write_eic(path: str, gnt, e_ic, energy_scale: float):
     with open(path, "w") as fh:
         for g, v in zip(gnt, e):
             fh.write("%14.7e %14.7e\n" % (g, v))
+
+
+def write_esp(path: str, gnt, n_esp):
+    """esp.dat: histogram of electrons sampled at scattering events
+    (xec2d.f:116-124, nelectron of nontherm2d.f:183)."""
+    import numpy as np
+
+    data = np.column_stack(
+        [np.asarray(gnt) + 1.0, np.asarray(n_esp)]
+    )
+    np.savetxt(path, data, fmt="%14.7e")
+
+
+def write_nph(path: str, e_gg, nph):
+    """n_ph1/n_ph2.dat: per-zone gamma-gamma photon field dumps
+    (imcgen2d.f:198-201); rows = E_gg, columns = zones."""
+    import numpy as np
+
+    nph = np.asarray(nph)
+    flat = nph.reshape(-1, nph.shape[-1]).T    # (n_gg, nzones)
+    data = np.column_stack([np.asarray(e_gg), flat])
+    np.savetxt(path, data, fmt="%14.7e")

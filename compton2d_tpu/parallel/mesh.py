@@ -59,3 +59,26 @@ def simstate_specs(state):
     """SimState specs: photon SoA sharded, everything else replicated."""
     specs = jax.tree_util.tree_map(lambda _: P(), state)
     return specs._replace(photons=sharded_specs(state.photons))
+
+
+def is_multiprocess(mesh: Mesh) -> bool:
+    return (
+        len({d.process_index for d in mesh.devices.flat}) > 1
+    )
+
+
+def put_global(tree, specs, mesh: Mesh):
+    """Build global jax.Arrays for a (possibly multi-process) mesh from
+    host-replicated numpy values. Every process holds the full logical
+    value (initial state is computed identically everywhere), so each
+    shard is materialized by slicing it."""
+    from jax.sharding import NamedSharding
+
+    def put(x, spec):
+        xv = np.asarray(x)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            xv.shape, sh, lambda idx: xv[idx]
+        )
+
+    return jax.tree_util.tree_map(put, tree, specs)

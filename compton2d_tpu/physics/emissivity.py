@@ -91,7 +91,10 @@ def sync_kernel(t: np.ndarray) -> np.ndarray:
 
 
 class SyncKernelTable(NamedTuple):
-    """Log-spaced f32 device table of sync_kernel."""
+    """Log-spaced f32 device table of sync_kernel (kept for checkpoint /
+    Tables compatibility; the hot path now evaluates the closed-form
+    kernel on the VPU — table-gather interpolation measured 300 ms/step
+    on v5e at bench shapes vs sub-ms for the elementwise fits)."""
 
     log_t: jnp.ndarray
     val: jnp.ndarray
@@ -109,6 +112,51 @@ class SyncKernelTable(NamedTuple):
             jnp.log(jnp.maximum(t, 1e-30)), self.log_t, self.val,
             left=self.val[0], right=0.0,
         )
+
+
+def _expk13_f32(ts: jnp.ndarray) -> jnp.ndarray:
+    """Device (f32, elementwise) exp(t) K_{1/3}(t); same fit as
+    :func:`expk13` (volume2d.f:672-714). Input pre-clamped >= 1e-12."""
+    c1, c2 = 0.35502805, 0.25881940
+    z3 = 1.5 * ts
+    zs = jnp.cbrt(z3)
+    z = zs * zs
+    z32 = z3 * z3
+    f1 = 1.0 + z32 / 6.0 * (1.0 + z32 / 30.0 * (1.0 + z32 / 56.0))
+    f2 = z * (1.0 + z32 / 12.0 * (1.0 + z32 / 42.0 * (1.0 + z32 / 90.0)))
+    small = jnp.exp(jnp.minimum(ts, 1.0)) * (np.pi * 1.7320508) / zs * (
+        c1 * f1 - c2 * f2
+    )
+    zl = 1.0 / (72.0 * ts)
+    poly = 1.0 - 5.0 * zl * (1.0 - 38.5 * zl)
+    large = jnp.sqrt(0.5 * np.pi / ts) * poly / (
+        1.0 + 1.0 / (1.0 + 58.0 * ts * ts)
+    )
+    return jnp.where(ts <= 1.0, small, large)
+
+
+def _expk43_f32(ts: jnp.ndarray) -> jnp.ndarray:
+    """Device (f32, elementwise) exp(t) K_{4/3}(t) (volume2d.f:718-746)."""
+    poly_s = 1.0 + ts * (0.9757317 - 7.6790616e-2 * ts)
+    small = 0.44648975 * (2.0 / ts) ** (4.0 / 3.0) * poly_s
+    zl = 1.0 / (72.0 * ts)
+    poly_l = 1.0 + 55.0 * zl * (1.0 - 8.5 * zl)
+    large = jnp.sqrt(0.5 * np.pi / ts) * poly_l * (
+        1.0 + 1.0 / (1.0 + 50.0 * ts * ts)
+    )
+    return jnp.where(ts <= 1.0, small, large)
+
+
+def sync_kernel_f32(t: jnp.ndarray) -> jnp.ndarray:
+    """Device closed-form synchrotron spectral shape (volume2d.f:206-216)
+    — pure VPU math, no table gathers."""
+    ts = jnp.clip(t, 1e-12, 2.0e4)
+    e43 = _expk43_f32(ts)
+    e13 = _expk13_f32(ts)
+    ff = ts * ts * (e43 * e13 - 0.6 * ts * (e43 - e13) * (e43 + e13))
+    return jnp.where(
+        t < 1.0e4, ff * jnp.exp(-2.0 * jnp.minimum(ts, 60.0)), 0.0
+    )
 
 
 def equipartition_b(
@@ -221,7 +269,7 @@ def volume_em(
         t = nu21[:, None] / (
             3.0 * gamma[None, :] ** 2 * (nu_b / _NU_FOLD)
         )
-        es = face * sync_tab(t)                   # (n_vol, num_nt)
+        es = face * sync_kernel_f32(t)            # (n_vol, num_nt)
         j_sy = (es @ (f * wdg)) * nez / (4.0 * jnp.pi)
         # absorption integral (volume2d.f:232-239)
         dfg = f / gamp

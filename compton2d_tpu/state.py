@@ -34,7 +34,11 @@ class ZoneState(NamedTuple):
     gmin: jnp.ndarray       # effective nonthermal low cutoff
     gmax: jnp.ndarray       # effective nonthermal high cutoff
     p_nth: jnp.ndarray      # effective nonthermal PL index
-    q_turb: jnp.ndarray     # turbulence index
+    q_turb: jnp.ndarray     # turbulence spectral index — carried for
+                            # config parity; the *active* acceleration is
+                            # hard-sphere (q = 2) so it does not enter the
+                            # operator, matching update2d.f:1035-1037
+                            # where the q-dependent terms are commented out
     turb_lev: jnp.ndarray   # turbulence level
     ep_switch: jnp.ndarray  # (nz, nr) int32
     f_nt: jnp.ndarray       # (nz, nr, num_nt) electron dist, unit integral
@@ -95,6 +99,9 @@ class Tallies(NamedTuple):
     n_field: jnp.ndarray   # (nz, nr, nphfield) photon number in field bins
     n_ph: jnp.ndarray      # (nz, nr, n_gg) gamma-gamma field photon counts
     e_ic: jnp.ndarray      # (num_nt,) IC energy exchange per electron bin
+    n_esp: jnp.ndarray     # (num_nt,) electrons sampled per bin at
+                           # scatters (the esp.dat histogram,
+                           # xec2d.f:116-124 / nontherm2d.f nelectron)
     fout: jnp.ndarray      # (nmu, nphtotal) escaping spectrum [erg]
     edout: jnp.ndarray     # (nmu, nph_lc) escaping LC power [erg/s]
     erlk_inner: jnp.ndarray  # (nz,) leakage through inner r boundary
@@ -118,6 +125,7 @@ class Tallies(NamedTuple):
             n_field=f((nz, nr, nphfield)),
             n_ph=f((nz, nr, n_gg)),
             e_ic=f((num_nt,)),
+            n_esp=f((num_nt,)),
             fout=f((nmu, nphtotal)),
             edout=f((nmu, nph_lc)),
             erlk_inner=f((nz,)), erlk_outer=f((nz,)),

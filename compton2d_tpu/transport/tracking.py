@@ -82,8 +82,9 @@ class TrackContext(NamedTuple):
 
     r_edges: jnp.ndarray       # (nr+1,) f32
     z_edges: jnp.ndarray       # (nz+1,) f32
-    sigma_zone: jnp.ndarray    # (nz*nr, n_vol) f32 scattering [1/cm]
-    kappa_zone: jnp.ndarray    # (nz*nr, n_vol) f32 absorption [1/cm]
+    opac_zone: jnp.ndarray     # (nz*nr, n_vol, 2) f32 [scattering,
+                               # absorption] opacities [1/L], stacked so
+                               # the flight loop gathers them together
     kgg_zone: jnp.ndarray      # (nz*nr, n_gg) f32 gamma-gamma [1/cm]
     cdf_nt: jnp.ndarray        # (nz*nr, num_nt) f32 electron CDFs
     gnt: jnp.ndarray           # (num_nt,)
@@ -109,7 +110,8 @@ class TrackContext(NamedTuple):
 
 
 def _loggrid_interp(table, zid, e, log0, dlog):
-    """Log-linear interpolation of per-zone tables: table (nzones, n_e),
+    """Log-linear interpolation of per-zone tables: table (nzones, n_e)
+    or (nzones, n_e, k) for k channels sharing the same energy grid;
     photon energies e (n,), zone ids zid (n,)."""
     n_e = table.shape[1]
     x = (jnp.log(jnp.maximum(e, 1e-30)) - log0) / dlog
@@ -118,7 +120,38 @@ def _loggrid_interp(table, zid, e, log0, dlog):
     f = (x - i0).astype(table.dtype)
     v0 = table[zid, i0]
     v1 = table[zid, i0 + 1]
+    if table.ndim == 3:
+        f = f[:, None]
     return v0 * (1.0 - f) + v1 * f
+
+
+def zone_accum(vals, zid, nzr):
+    """Deterministic segment-sum of per-photon values into the (small)
+    zone axis via a one-hot matmul — MXU-friendly, ~10x faster on TPU
+    than a sort-based scatter-add for nzr << n. ``vals``: (n,) or
+    (n, k) channels; returns (nzr,) / (nzr, k)."""
+    oh = (
+        zid[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, nzr), 1)
+    ).astype(jnp.float32)
+    if vals.ndim == 1:
+        return jnp.einsum(
+            "n,nz->z", vals, oh, preferred_element_type=jnp.float32
+        )
+    return jnp.einsum(
+        "nk,nz->zk", vals, oh, preferred_element_type=jnp.float32
+    )
+
+
+def loggrid_bin(e, log0, dlog, n_bins):
+    """Shared log-grid binning + in-range mask for the radiation-field
+    and gamma-gamma census tallies (imctrk2d.f:537-556): bin index on
+    the grid starting at exp(log0) with ratio exp(dlog); photons below
+    one grid ratio under the first point are out of range (the
+    reference's E > E_0^2/E_1 threshold)."""
+    x = (jnp.log(jnp.maximum(e, 1e-30)) - log0) / dlog
+    b = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n_bins - 1)
+    in_range = x > -1.0   # e > E_0^2 / E_1 in log space
+    return b, in_range
 
 
 def spectral_bin(hu, e):
@@ -233,10 +266,12 @@ def _flight_phase(
         zid = zone_id(ph.jz, ph.kr)
 
         # --- 1. cross sections & optical depth draw ------------------
-        sig_s = _loggrid_interp(
-            ctx.sigma_zone, zid, ph.e, ctx.e_ph_log0, ctx.e_ph_dlog
+        # sigma and kappa share the e_ph grid: one stacked gather
+        sk = _loggrid_interp(
+            ctx.opac_zone, zid, ph.e, ctx.e_ph_log0, ctx.e_ph_dlog
         )
-        sig_s = jnp.maximum(sig_s, 1e-40)
+        sig_s = jnp.maximum(sk[:, 0], 1e-30)  # f32-normal floor
+        kap = sk[:, 1]
         u_tau = jax.random.uniform(
             k_tau, (n,), jnp.float32, minval=1e-12, maxval=1.0
         )
@@ -257,9 +292,6 @@ def _flight_phase(
         ikind = jnp.where(hit_bnd, 1, ikind)
 
         # --- 4. continuous absorption (imctrk2d.f:382-462) -----------
-        kap = _loggrid_interp(
-            ctx.kappa_zone, zid, ph.e, ctx.e_ph_log0, ctx.e_ph_dlog
-        )
         if st.pair_switch:
             kgg = _loggrid_interp(
                 ctx.kgg_zone, zid, ph.e, ctx.e_gg_log0, ctx.e_gg_dlog
@@ -270,16 +302,16 @@ def _flight_phase(
             )
         else:
             kgg = jnp.zeros_like(kap)
-        sigabs = jnp.maximum(kap + kgg, 1e-40)
+        # floor must stay in f32 normal range: 1e-40 is subnormal and
+        # flushes to zero, making frac_heat below 0/0 = NaN
+        sigabs = jnp.maximum(kap + kgg, 1e-30)
         xabs = sigabs * trld
         ewnew = jnp.where(xabs < 100.0, ph.w * jnp.exp(-xabs), 0.0)
         deleabs = jnp.maximum(ph.w - ewnew, 0.0)
         # gamma-gamma absorbed energy above 47 keV becomes pairs, not
-        # heat (imctrk2d.f:429-434)
+        # heat (imctrk2d.f:429-434); sigabs - kgg == kap exactly
         if st.pair_switch:
-            frac_heat = jnp.where(
-                ph.e > 47.0, jnp.maximum(sigabs - kgg, 0.0) / sigabs, 1.0
-            )
+            frac_heat = jnp.where(ph.e > 47.0, kap / sigabs, 1.0)
         else:
             frac_heat = jnp.ones_like(sigabs)
         edep_add = jnp.where(act, deleabs * frac_heat, 0.0)
@@ -302,13 +334,17 @@ def _flight_phase(
         prdep_add = jnp.where(
             act, deleabs * wmustar * jnp.float32(cn.C_LIGHT), 0.0
         )
+        dep2 = zone_accum(
+            jnp.stack([edep_add, prdep_add], axis=1), zid,
+            st.nz * st.nr,
+        )
         tl = tl._replace(
-            edep=tl.edep.reshape(-1).at[zid].add(
-                edep_add, mode="drop"
-            ).reshape(st.nz, st.nr),
-            prdep=tl.prdep.reshape(-1).at[zid].add(
-                prdep_add, mode="drop"
-            ).reshape(st.nz, st.nr),
+            edep=(tl.edep.reshape(-1) + dep2[:, 0]).reshape(
+                st.nz, st.nr
+            ),
+            prdep=(tl.prdep.reshape(-1) + dep2[:, 1]).reshape(
+                st.nz, st.nr
+            ),
         )
 
         # --- weight floor kill (imctrk2d.f:465) ----------------------
@@ -419,12 +455,18 @@ def _flight_phase(
                 d_e_p = jnp.where(sct, w_new_p - w_pre_p, 0.0)
                 d_e_c = jnp.where(placed, w_new_c - w_pre_c, 0.0)
                 tl = tl._replace(
-                    edep=tl.edep.reshape(-1).at[zid].add(
-                        d_e_p + d_e_c, mode="drop"
+                    edep=(
+                        tl.edep.reshape(-1)
+                        + zone_accum(d_e_p + d_e_c, zid, st.nz * st.nr)
                     ).reshape(st.nz, st.nr),
                     e_ic=tl.e_ic.at[res_p.i_gam].add(
                         d_e_p, mode="drop"
                     ).at[res_c.i_gam].add(d_e_c, mode="drop"),
+                    n_esp=tl.n_esp.at[res_p.i_gam].add(
+                        jnp.where(sct, 1.0, 0.0), mode="drop"
+                    ).at[res_c.i_gam].add(
+                        jnp.where(placed, 1.0, 0.0), mode="drop"
+                    ),
                     e_scatter=tl.e_scatter
                     + jnp.sum(d_e_p) + jnp.sum(d_e_c),
                 )
@@ -465,10 +507,14 @@ def _flight_phase(
                 w_new = ph.w * res.wscale
                 d_e = jnp.where(sct, w_new - w_old, 0.0)
                 tl = tl._replace(
-                    edep=tl.edep.reshape(-1).at[zid].add(
-                        d_e, mode="drop"
+                    edep=(
+                        tl.edep.reshape(-1)
+                        + zone_accum(d_e, zid, st.nz * st.nr)
                     ).reshape(st.nz, st.nr),
                     e_ic=tl.e_ic.at[res.i_gam].add(d_e, mode="drop"),
+                    n_esp=tl.n_esp.at[res.i_gam].add(
+                        jnp.where(sct, 1.0, 0.0), mode="drop"
+                    ),
                     e_scatter=tl.e_scatter + jnp.sum(d_e),
                 )
                 ph = ph._replace(
@@ -705,37 +751,30 @@ def census_tally(
     w = jnp.where(alive, photons.w, 0.0)
     nzr = st.nz * st.nr
 
-    ecens = tallies.ecens.reshape(-1).at[zid].add(w, mode="drop")
-    npcen = tallies.npcen.reshape(-1).at[zid].add(
-        jnp.where(alive, 1.0, 0.0), mode="drop"
+    cen2 = zone_accum(
+        jnp.stack([w, jnp.where(alive, 1.0, 0.0)], axis=1), zid, nzr
     )
+    ecens = tallies.ecens.reshape(-1) + cen2[:, 0]
+    npcen = tallies.npcen.reshape(-1) + cen2[:, 1]
 
     counts = jnp.where(
         alive, w / jnp.maximum(photons.e, 1e-30), 0.0
     )
+    # single source of truth for the field/gamma-gamma thresholds
+    # (imctrk2d.f:537-556): loggrid_bin
     nphf = tallies.n_field.shape[-1]
-    xf = (
-        jnp.log(jnp.maximum(photons.e, 1e-30)) - ctx.e_field_log0
-    ) / ctx.e_field_dlog
-    fbin = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, nphf - 1)
-    # threshold: only above E_field[0]^2/E_field[1] (imctrk2d.f:550-553)
-    egg_min = jnp.exp(2.0 * ctx.e_field_log0 - (
-        ctx.e_field_log0 + ctx.e_field_dlog
-    ))
-    in_field = photons.e > egg_min.astype(jnp.float32)
+    fbin, in_field = loggrid_bin(
+        photons.e, ctx.e_field_log0, ctx.e_field_dlog, nphf
+    )
     n_field = tallies.n_field.reshape(nzr, nphf).at[
         zid, fbin
     ].add(jnp.where(in_field, counts, 0.0), mode="drop")
 
     # gamma-gamma field (imctrk2d.f:537-545)
     ngg = tallies.n_ph.shape[-1]
-    xg = (
-        jnp.log(jnp.maximum(photons.e, 1e-30)) - ctx.e_gg_log0
-    ) / ctx.e_gg_dlog
-    gbin = jnp.clip(jnp.floor(xg).astype(jnp.int32), 0, ngg - 1)
-    egg0 = jnp.exp(ctx.e_gg_log0)
-    egg_thresh = (egg0 * egg0 / jnp.exp(ctx.e_gg_log0 + ctx.e_gg_dlog))
-    in_gg = photons.e > egg_thresh.astype(jnp.float32)
+    gbin, in_gg = loggrid_bin(
+        photons.e, ctx.e_gg_log0, ctx.e_gg_dlog, ngg
+    )
     n_ph = tallies.n_ph.reshape(nzr, ngg).at[zid, gbin].add(
         jnp.where(in_gg, counts, 0.0), mode="drop"
     )

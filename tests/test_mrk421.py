@@ -9,8 +9,10 @@ from compton2d_tpu.io import postprocess as pp
 
 
 def test_mrk421_small_run():
+    # num_nt=160 so the gamma grid reaches past the injection band
+    # (g1=5e2, g2=2e5); smaller grids leave injection inert
     sim = examples.mrk421(
-        nz=4, nr=2, nst=1500, n_slots=8192, num_nt=80, n_vol=64,
+        nz=4, nr=2, nst=1500, n_slots=8192, num_nt=160, n_vol=64,
         nphfield=64,
     )
     store = ev.EventArrayStore(sim.scales.E)

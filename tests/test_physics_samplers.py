@@ -92,3 +92,19 @@ def test_hybrid_distribution_has_tail():
     i2 = np.searchsorted(g, 1e4)
     slope = np.log(fa[i2] / fa[i1]) / np.log(g[i2] / g[i1])
     assert np.isclose(slope, -2.2, atol=0.1)
+
+
+def test_sync_kernel_device_matches_host():
+    """The VPU closed-form synchrotron kernel (hot path) must match the
+    host float64 fit (volume2d.f:206-216) to f32 accuracy."""
+    import jax.numpy as jnp
+    from compton2d_tpu.physics.emissivity import (
+        sync_kernel,
+        sync_kernel_f32,
+    )
+
+    t = np.geomspace(1e-12, 9e3, 2000)
+    ref = sync_kernel(t)
+    got = np.asarray(sync_kernel_f32(jnp.asarray(t, jnp.float32)))
+    m = ref > 1e-30
+    assert np.max(np.abs(got[m] / ref[m] - 1.0)) < 2e-3
