@@ -21,8 +21,7 @@ master-worker MPI task farm):
 - state is pytrees (``ZoneState``, ``PhotonArray`` SoA, ``Tallies``), not a
   COMMON block;
 - photon tracking is a vectorized lock-step flight loop over photon slots
-  (Pallas megakernel for the hot path), with counter-based threefry RNG —
-  one stream per (step, slot);
+  with counter-based threefry RNG — one stream per (step, iteration);
 - the per-zone total Compton cross section is built each step as a single
   MXU matmul  sigma_E(E_grid, gamma_grid) @ f_nt(gamma_grid, zones)  instead
   of the reference's per-photon 200-term integral
