@@ -546,6 +546,31 @@ class Simulation:
             )
         return getattr(self, "n_events_dropped", 0)
 
+    def photon_fill_diagnostic(self):
+        """First-cycle explicit thermal-rate table (photon_fill,
+        update2d.f:1747-1921): the reference computes and logs this for
+        ncycle <= 1 before the FP farm (its Te_new is then overwritten
+        by FP_calc). Uses the last step's tallied radiation field."""
+        from compton2d_tpu.fp.update import photon_fill
+
+        if self.last_outputs is None:
+            raise RuntimeError("run at least one step first")
+        zones = self.state.zones
+        l_min = jnp.minimum(self.grid.dz, self.grid.dr) * jnp.ones_like(
+            self.grid.vol
+        )
+        ve = volume_em(
+            self.tables.e_ph, self.tables.gnt, zones.f_nt, zones.tea,
+            zones.n_e, zones.B_field, zones.amxwl, self.grid.vol,
+            self.grid.zone_surf, l_min, self.state.dt_prev,
+            self.tables.sync, self.scales, f_pair=zones.f_pair,
+        )
+        return photon_fill(
+            zones, self.last_outputs.tallies.n_field, self.tables,
+            self.grid.vol, self.state.dt_prev, ve.eloss_sy, ve.eloss_br,
+            self.cfg.physics, self.scales,
+        )
+
     def summary(self) -> str:
         o = self.last_outputs
         s = self.state
@@ -637,6 +662,62 @@ def _step_impl(
     def psum(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
+    # ---- zone-axis device sharding (run.zone_shard) -----------------
+    # The zone-batched phases (volume_em, FP solve, pair tensors) are
+    # independent per zone; each device computes Z/n_devices zones and
+    # the small per-zone outputs are all-gathered — the TPU analogue of
+    # the reference's dynamic zone farm (update2d.f:190-214,
+    # imcvol2d_para.f:26-78). Per-zone results are computed identically
+    # regardless of placement, so outputs are bitwise equal to the
+    # replicated path.
+    Z = nz * nr
+    zshard = (
+        axis_name is not None and n_devices > 1 and run.zone_shard
+        and Z >= n_devices
+    )
+    Zs = -(-Z // n_devices)
+    Zp = Zs * n_devices
+
+    def _zflat(x):
+        return x.reshape((Z,) + x.shape[2:])
+
+    def _zpad(x):
+        if Zp == Z:
+            return x
+        # edge-replicate; scalar-contaminating leaves are masked by the
+        # caller (fp pads zero n_e/tna so padded zones are inert)
+        return jnp.concatenate(
+            [x, jnp.repeat(x[-1:], Zp - Z, axis=0)], axis=0
+        )
+
+    def zslice(x, keep2d=True):
+        """(nz, nr, ...) -> this device's (Zs, 1, ...) zone slice."""
+        s = jax.lax.dynamic_slice_in_dim(
+            _zpad(_zflat(x)), jax.lax.axis_index(axis_name) * Zs, Zs,
+            axis=0,
+        )
+        return s.reshape((Zs, 1) + s.shape[1:]) if keep2d else s
+
+    def zslice_flat(x):
+        """(Z, ...) -> this device's (Zs, ...) zone slice."""
+        return jax.lax.dynamic_slice_in_dim(
+            _zpad(x), jax.lax.axis_index(axis_name) * Zs, Zs, axis=0
+        )
+
+    def zgather(x):
+        """(Zs, 1, ...) or (Zs, ...) device slice -> full (nz, nr, ...)."""
+        if x.ndim >= 2 and x.shape[1] == 1:
+            x = x.reshape((x.shape[0],) + x.shape[2:])
+        g = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+        return g[:Z].reshape((nz, nr) + x.shape[1:])
+
+    zmask = None   # (Zs, 1) validity of this device's slice (padding)
+    if zshard and Zp != Z:
+        zmask = jax.lax.dynamic_slice_in_dim(
+            jnp.arange(Zp) < Z,
+            jax.lax.axis_index(axis_name) * Zs, Zs, axis=0,
+        ).reshape(Zs, 1)
+
     # ---- 0. census replay: reset flight clocks (imcfield2d.f:117) ---
     photons = state.photons._replace(
         dcen=jnp.where(
@@ -666,11 +747,24 @@ def _step_impl(
     zones = zones._replace(B_field=B)
 
     l_min = jnp.minimum(grid.dz, grid.dr) * jnp.ones_like(grid.vol)
-    ve = volume_em(
-        tables.e_ph, tables.gnt, zones.f_nt, zones.tea, zones.n_e, B,
-        zones.amxwl, grid.vol, grid.zone_surf, l_min, state.dt,
-        tables.sync, scales, f_pair=zones.f_pair,
-    )
+    if zshard:
+        # each device runs its zone slice as an (Zs, 1) grid, results
+        # all-gathered (bitwise equal to the replicated pass: per-zone
+        # computation is placement-independent)
+        ve_s = volume_em(
+            tables.e_ph, tables.gnt, zslice(zones.f_nt),
+            zslice(zones.tea), zslice(zones.n_e), zslice(B),
+            zslice(zones.amxwl), zslice(grid.vol),
+            zslice(grid.zone_surf), zslice(l_min), state.dt,
+            tables.sync, scales, f_pair=zslice(zones.f_pair),
+        )
+        ve = jax.tree_util.tree_map(zgather, ve_s)
+    else:
+        ve = volume_em(
+            tables.e_ph, tables.gnt, zones.f_nt, zones.tea, zones.n_e,
+            B, zones.amxwl, grid.vol, grid.zone_surf, l_min, state.dt,
+            tables.sync, scales, f_pair=zones.f_pair,
+        )
 
     nst_eff = cfg.source.nst * max(cfg.source.split, 1)
     budget = sourcing.compute_budget(
@@ -732,27 +826,44 @@ def _step_impl(
             / de_gg[None, :]
         )
         nph_raw = nph_phys.reshape(nz, nr, ngg)   # n_ph1.dat dump
-        nph_phys = pair_mod.nph_smooth(
-            nph_phys, egg32, zones.tea.reshape(-1).astype(jnp.float32)
-        )
-        nph_fit = nph_phys.reshape(nz, nr, ngg)   # n_ph2.dat dump
-        k_gg_new = (nph_phys @ pair_tables.kgg_mat.T).reshape(
-            nz, nr, ngg
-        )
-        dn_pp_new = pair_mod.dn_pp_from_field(
-            nph_phys, pair_tables.pp_tensor
-        ).reshape(nz, nr, -1)
+        tea_flat = zones.tea.reshape(-1).astype(jnp.float32)
         f_flat = zones.f_nt.reshape(nz * nr, -1).astype(jnp.float32)
         npos_flat = zones.n_pos.reshape(nz * nr, -1).astype(jnp.float32)
+        ne_flat = zones.n_e.reshape(-1).astype(jnp.float32)
+        if zshard:
+            # per-zone pair tensors on this device's zone slice
+            # (sharded pairprod/pa_calc farm, imcvol2d-style P2)
+            nph_phys = zslice_flat(nph_phys)
+            tea_flat = zslice_flat(tea_flat)
+            f_flat = zslice_flat(f_flat)
+            npos_flat = zslice_flat(npos_flat)
+            ne_flat = zslice_flat(ne_flat)
+        nph_sm = pair_mod.nph_smooth(nph_phys, egg32, tea_flat)
+        k_gg_new = nph_sm @ pair_tables.kgg_mat.T
+        dn_pp_new = pair_mod.dn_pp_from_field(
+            nph_sm, pair_tables.pp_tensor
+        )
         dne_pa_new, dnp_pa_new = pair_mod.pa_rates(
-            f_flat, npos_flat, zones.n_e.reshape(-1).astype(jnp.float32),
+            f_flat, npos_flat, ne_flat,
             pair_tables.vsigma, tables.gnt.astype(jnp.float32),
         )
+        if zshard:
+            nph_fit = zgather(nph_sm)
+            k_gg_new = zgather(k_gg_new)
+            dn_pp_new = zgather(dn_pp_new)
+            dne_pa_new = zgather(dne_pa_new)
+            dnp_pa_new = zgather(dnp_pa_new)
+        else:
+            nph_fit = nph_sm.reshape(nz, nr, ngg)
+            k_gg_new = k_gg_new.reshape(nz, nr, ngg)
+            dn_pp_new = dn_pp_new.reshape(nz, nr, -1)
+            dne_pa_new = dne_pa_new.reshape(nz, nr, -1)
+            dnp_pa_new = dnp_pa_new.reshape(nz, nr, -1)
         state = state._replace(
             k_gg=k_gg_new,
             dn_pp=dn_pp_new,
-            dne_pa=dne_pa_new.reshape(nz, nr, -1),
-            dnp_pa=dnp_pa_new.reshape(nz, nr, -1),
+            dne_pa=dne_pa_new,
+            dnp_pa=dnp_pa_new,
         )
     else:
         nph_raw = jnp.zeros((nz, nr, g.n_gg))
@@ -831,6 +942,17 @@ def _step_impl(
         strat_icut = min(max(strat_icut, 1), g.num_nt - 1)
     else:
         strat_icut = 0
+    from compton2d_tpu.transport import flight_pallas as _fpk
+
+    n_local_slots = run.n_slots // max(n_devices, 1)
+    pallas_ok = (
+        nz * nr <= _fpk.MAX_ZONES
+        and n_local_slots % _fpk.TILE == 0
+        and jax.default_backend() == "tpu"
+    )
+    use_pallas = run.pallas_tracking == "on" or (
+        run.pallas_tracking == "auto" and pallas_ok
+    )
     st = TrackStatics(
         nz=nz, nr=nr,
         cr_sent=phys.cr_sent,
@@ -843,6 +965,7 @@ def _step_impl(
         strat_split=cfg.source.strat_split,
         strat_icut=strat_icut,
         strat_p_max=cfg.source.strat_p_max,
+        use_pallas=use_pallas,
     )
 
     tallies = Tallies.zeros(
@@ -892,15 +1015,48 @@ def _step_impl(
                 turb_lev=zones.turb_lev + tl_flare,
                 tna=zones.tna * (1.0 + tl_flare),
             )
-        fpr = fp_step(
-            zones_fp, n_field_real, tables, grid.vol,
-            float(cfg.grid.z_max), grid.dz,
-            state.dt, state.time,
-            ve.eloss_sy, phys, scales,
-            dn_pp=state.dn_pp, dne_pa=state.dne_pa,
-            dnp_pa=state.dnp_pa,
-            coulomb=coulomb_tables,
-        )
+        if zshard:
+            # the reference's FP zone farm (update2d.f:190-214): each
+            # device solves its zone slice, the updated ZoneState
+            # (small: ~Z*num_nt f32) is all-gathered
+            zones_fp_s = jax.tree_util.tree_map(zslice, zones_fp)
+            if zmask is not None:
+                # padded zones are made inert (no protons -> skipped by
+                # the tna>1 guard, zero leptons -> zero energy)
+                zones_fp_s = zones_fp_s._replace(
+                    n_e=jnp.where(zmask, zones_fp_s.n_e, 0.0),
+                    tna=jnp.where(zmask, zones_fp_s.tna, 0.0),
+                )
+            j_row_full = jnp.broadcast_to(
+                jnp.arange(nz, dtype=jnp.float32)[:, None], (nz, nr)
+            )
+            fpr = fp_step(
+                zones_fp_s, zslice(n_field_real), tables,
+                zslice(grid.vol), float(cfg.grid.z_max), grid.dz,
+                state.dt, state.time, zslice(ve.eloss_sy), phys,
+                scales,
+                dn_pp=zslice(state.dn_pp), dne_pa=zslice(state.dne_pa),
+                dnp_pa=zslice(state.dnp_pa), coulomb=coulomb_tables,
+                j_row=zslice(j_row_full),
+                slab_vol=jnp.sum(grid.vol) / nz,
+            )
+            fpr = fpr._replace(
+                zones=jax.tree_util.tree_map(zgather, fpr.zones),
+                dT_max=jax.lax.pmax(fpr.dT_max, axis_name),
+                e_el_old=psum(fpr.e_el_old),
+                e_el_new=psum(fpr.e_el_new),
+                substeps=jax.lax.pmax(fpr.substeps, axis_name),
+            )
+        else:
+            fpr = fp_step(
+                zones_fp, n_field_real, tables, grid.vol,
+                float(cfg.grid.z_max), grid.dz,
+                state.dt, state.time,
+                ve.eloss_sy, phys, scales,
+                dn_pp=state.dn_pp, dne_pa=state.dne_pa,
+                dnp_pa=state.dnp_pa,
+                coulomb=coulomb_tables,
+            )
         # the flare modifications to tna/turb_lev are ephemeral
         # (Tp_flare, update2d.f:558)
         fpr_zones = fpr.zones._replace(

@@ -64,6 +64,13 @@ def fp_step(
     dne_pa: jnp.ndarray = None,  # (nz, nr, num_nt) e- annihilation sink
     dnp_pa: jnp.ndarray = None,  # (nz, nr, num_nt) e+ annihilation sink
     coulomb=None,                # CoulombTables (fp_include_coulomb)
+    j_row: jnp.ndarray = None,   # (nz, nr) z-row index of each zone
+                                 # (shock front); default arange(nz)
+    slab_vol: jnp.ndarray = None,  # () swept z-slab volume [L^3];
+                                 # default sum(vol)/nz. Both must be
+                                 # passed explicitly when the zone axis
+                                 # is device-sharded (parallel zone
+                                 # farm, update2d.f:190-214 analogue)
 ) -> FPResult:
     """All energies scaled by scales.E, volumes by scales.L^3; heating
     rates hr_* are in E/s. Rates (1/s) need no scaling."""
@@ -128,6 +135,12 @@ def fp_step(
     lnL = phys.lnL
 
     inj = phys.injection
+    if j_row is None:
+        jrow_flat = jnp.repeat(jnp.arange(nz, dtype=f32), nr)
+    else:
+        jrow_flat = j_row.reshape(Z).astype(f32)
+    if slab_vol is None:
+        slab_vol = jnp.sum(volume) / nz
     use_pairs = bool(phys.pair_switch) and dn_pp is not None
     if use_pairs:
         dn_pp_f = dn_pp.reshape(Z, num_nt).astype(f32)
@@ -242,15 +255,12 @@ def fp_step(
             # dz is in scaled L units -> convert to cm for the crossing
             # time against inj.v [cm/s]
             t_row = dz * jnp.float32(scales.L) / jnp.float32(inj.v)
-            jidx = jnp.arange(nz)[:, None] * jnp.ones((1, nr))
-            tt = time + t_fp.reshape(nz, nr) - inj.t_start
-            active = (
-                (tt > t_row * jidx) & (tt < t_row * (jidx + 1))
-            ).reshape(Z)
+            jidx = jrow_flat
+            tt = time + t_fp - inj.t_start
+            active = (tt > t_row * jidx) & (tt < t_row * (jidx + 1))
             # injection normalized to the swept z-slab volume
             # pi r_max^2 dz (update2d.f:1286); luminosity folded with
             # L^3 host-side to stay in f32 range
-            slab_vol = jnp.sum(volume) / nz
             lum_fold = float(inj.luminosity) / (8.186e-7 * scales.L3)
             inj_rate = lum_fold / jnp.maximum(inj_e_mean * slab_vol, 1e-30)
             # no injection when the profile is unrepresentable on the
@@ -425,6 +435,112 @@ def fp_step(
         e_el_old=e_el_old,
         e_el_new=e_el_new,
         substeps=it_end,
+    )
+
+
+class PhotonFillRates(NamedTuple):
+    """Per-zone explicit thermal heating/cooling rates [erg/s per
+    electron] + total [keV/s] (photon_fill, update2d.f:1747-1921)."""
+
+    dT_coulp: jnp.ndarray   # (nz, nr) proton-electron Coulomb
+    dT_sy: jnp.ndarray      # (nz, nr) synchrotron cooling
+    dT_c: jnp.ndarray       # (nz, nr) Compton (from n_field x F_IC)
+    dT_br: jnp.ndarray      # (nz, nr) bremsstrahlung cooling
+    dT_A: jnp.ndarray       # (nz, nr) hydromagnetic acceleration
+    dT_total: jnp.ndarray   # (nz, nr) [keV/s]
+    d_t_opt: jnp.ndarray    # (nz, nr) [s] df_T-limited step suggestion
+    te_est: jnp.ndarray     # (nz, nr) [keV] explicit Te estimate
+
+
+def photon_fill(
+    zones: ZoneState,
+    n_field: jnp.ndarray,     # (nz, nr, nphfield) scaled field tally
+    tables: Tables,
+    vol: jnp.ndarray,         # (nz, nr) [L^3]
+    dt: jnp.ndarray,          # () [s]
+    eloss_sy: jnp.ndarray,    # (nz, nr) [E] per step
+    eloss_br: jnp.ndarray,    # (nz, nr) [E] per step
+    phys: PhysicsConfig,
+    scales: Scales,
+) -> PhotonFillRates:
+    """First-cycle explicit thermal-rate estimate (photon_fill,
+    update2d.f:1747-1921): called by the reference for ncycle <= 1
+    before the FP farm. In the active code path its Te_new is
+    immediately overwritten by FP_calc and its dt adjustment is
+    commented out (update2d.f:1887,1914-1915), so this is faithfully a
+    cycle-1 *diagnostic* — the reference logs the per-channel rates to
+    log.txt. The rate formulas are update2d.f:1850-1886 verbatim.
+    """
+    nz, nr, num_nt = zones.f_nt.shape
+    Z = nz * nr
+    f32 = jnp.float32
+    gnt = tables.gnt.astype(f32)
+    dgw = jnp.concatenate([jnp.diff(gnt), jnp.zeros((1,), f32)])
+
+    n_p = zones.n_e.reshape(Z).astype(f32)
+    tea = zones.tea.reshape(Z).astype(f32)
+    tna = zones.tna.reshape(Z).astype(f32)
+    tlev = zones.turb_lev.reshape(Z).astype(f32)
+    B = jnp.maximum(zones.B_field.reshape(Z).astype(f32), 1e-20)
+    f_nt = zones.f_nt.reshape(Z, num_nt).astype(f32)
+    volume = vol.reshape(Z).astype(f32)
+
+    th_p = tna / 9.382e5                       # update2d.f:1846
+    th_e = tea / 5.11e2
+    g_av = tables.gamma_bar.forward(jnp.maximum(th_e, 1e-6))
+    gamma_R = 2.1e-3 * jnp.sqrt(n_p) / (B * jnp.sqrt(g_av))
+
+    h_T = 0.79788 * (
+        2.0 * (th_e + th_p) ** 2 + 2.0 * (th_e + th_p) + 1.0
+    ) / (
+        jnp.maximum(th_e + th_p, 1e-12) ** 1.5
+        * (1.0 + 1.875 * th_e + 0.8203 * th_e**2)
+    )
+    dT_coulp = 2.608e-26 * n_p * phys.lnL * (tna - tea) * h_T
+
+    # Eloss [scaled E] -> erg, vol [L^3] -> cm^3: fold the ratio E/L^3
+    # host-side (either factor alone can overflow f32)
+    k_ul = jnp.float32(scales.E / scales.L3)
+    y = gamma_R / g_av
+    per_e = (
+        eloss_sy.reshape(Z).astype(f32) / volume * k_ul
+        / (jnp.maximum(n_p, 1e-30) * dt.astype(f32))
+    )
+    dT_sy = jnp.where(
+        y < 100.0,
+        -(2.0 / 3.0) * per_e / jnp.exp(jnp.minimum(y, 100.0)),
+        0.0,
+    )
+    dT_br = (
+        -(2.0 / 3.0) * eloss_br.reshape(Z).astype(f32) / volume * k_ul
+        / (jnp.maximum(n_p, 1e-30) * dt.astype(f32))
+    )
+
+    # dT_c from the same dg_ic contraction as FP_calc
+    # (update2d.f:1864-1872)
+    nf = n_field.reshape(Z, -1).astype(f32)
+    dg_ic = -(nf @ tables.f_ic.T) * (
+        jnp.float32(scales.nfield_to_dgic) / volume[:, None]
+    )
+    dT_c = -(2.0 / 3.0) * jnp.float32(cn.MEC2_ERG) * jnp.sum(
+        dg_ic * f_nt * dgw[None, :], axis=-1
+    )
+
+    dT_A = tlev * dT_coulp
+    dT_total = (dT_coulp + dT_sy + dT_br + dT_c + dT_A) / 1.6e-9
+
+    # zones without protons are skipped (update2d.f:1808-1809)
+    skip = (n_p < 1e-11) | (tna < 1.0)
+    dT_total = jnp.where(skip, 0.0, dT_total)
+    d_t_opt = cn.DF_T * tea / jnp.maximum(jnp.abs(dT_total), 1e-30)
+    te_est = tea + dt.astype(f32) * dT_total
+
+    sh = (nz, nr)
+    return PhotonFillRates(
+        dT_coulp=dT_coulp.reshape(sh), dT_sy=dT_sy.reshape(sh),
+        dT_c=dT_c.reshape(sh), dT_br=dT_br.reshape(sh),
+        dT_A=dT_A.reshape(sh), dT_total=dT_total.reshape(sh),
+        d_t_opt=d_t_opt.reshape(sh), te_est=te_est.reshape(sh),
     )
 
 

@@ -75,6 +75,11 @@ class TrackStatics:
     phase0_iters: int = 16
     phase_divisors: Tuple[int, ...] = (4, 16)
     phase_iters: Tuple[int, ...] = (48, 10_000)
+    # Pallas flight megakernel (plan M4, transport.flight_pallas): the
+    # free-flight loop runs on-chip in VMEM tiles; scatter/leak events
+    # are handled between kernel rounds by the XLA code above
+    use_pallas: bool = False
+    pallas_interpret: bool = False   # CPU debugging of the kernel
 
 
 class TrackContext(NamedTuple):
@@ -202,6 +207,10 @@ def transport_step(
     """
     n = photons.n_slots
     it0 = jnp.int32(0)
+    if st.use_pallas:
+        return _transport_step_pallas(
+            photons, tallies, events, key, ctx, st
+        )
     if not st.use_compaction:
         photons, tallies, events, _ = _flight_phase(
             photons, tallies, events, key, ctx, st, st.max_iters, it0
@@ -407,127 +416,13 @@ def _flight_phase(
         # none scattering) skip the CDF gather + rejection loops
         sct = upd & (ikind == 3) & ph.alive
 
-        if st.strat_split:
-            # stratified tail splitting (the unbiased analogue of the
-            # split2/spl3 scheme, imctrk2d.f:593-661): parent samples
-            # the electron stratum below gamma_c, a copy in a free slot
-            # samples the tail stratum with weight fraction p_tail
-            def do_scatter(ph, tl):
-                cdf_rows = ctx.cdf_nt[zid]
-                c = cdf_rows[:, st.strat_icut]
-                p_tail = jnp.clip(1.0 - c, 0.0, 1.0)
-                want = (
-                    sct
-                    & (p_tail > st.strat_p_min)
-                    & (p_tail <= st.strat_p_max)
-                )
-                free = ~ph.alive
-                cfree = jnp.cumsum(free.astype(jnp.int32))
-                n_free = cfree[-1]
-                rank = jnp.cumsum(want.astype(jnp.int32)) - 1
-                placed = want & (rank < n_free)
-                slot = jnp.searchsorted(
-                    cfree, rank + 1, side="left"
-                ).astype(jnp.int32)
-                slot_w = jnp.where(placed, slot, n)
-
-                # 1/Z with Z = <sigma_KN ratio> = sig_s/(n_eff sigT L)
-                inv_z = 1.0 / jnp.maximum(
-                    sig_s * ctx.inv_nsigt[zid], 1e-30
-                )
-                u_hi_par = jnp.where(placed, c, 1.0)
-                res_p = scatter_stratified(
-                    k_scat, ph.e, ph.mu, ph.cphi, ph.sphi, cdf_rows,
-                    ctx.gnt, u_lo=jnp.zeros_like(c), u_hi=u_hi_par,
-                    inv_z=inv_z, max_tries=st.max_scatter_tries,
-                    need=sct,
-                )
-                res_c = scatter_stratified(
-                    jax.random.fold_in(k_scat, 1), ph.e, ph.mu,
-                    ph.cphi, ph.sphi, cdf_rows, ctx.gnt,
-                    u_lo=c, u_hi=jnp.ones_like(c), inv_z=inv_z,
-                    max_tries=st.max_scatter_tries, need=placed,
-                )
-                w_pre_p = jnp.where(placed, ph.w * (1.0 - p_tail), ph.w)
-                w_new_p = w_pre_p * res_p.wscale
-                w_pre_c = ph.w * p_tail
-                w_new_c = w_pre_c * res_c.wscale
-                d_e_p = jnp.where(sct, w_new_p - w_pre_p, 0.0)
-                d_e_c = jnp.where(placed, w_new_c - w_pre_c, 0.0)
-                tl = tl._replace(
-                    edep=(
-                        tl.edep.reshape(-1)
-                        + zone_accum(d_e_p + d_e_c, zid, st.nz * st.nr)
-                    ).reshape(st.nz, st.nr),
-                    e_ic=tl.e_ic.at[res_p.i_gam].add(
-                        d_e_p, mode="drop"
-                    ).at[res_c.i_gam].add(d_e_c, mode="drop"),
-                    n_esp=tl.n_esp.at[res_p.i_gam].add(
-                        jnp.where(sct, 1.0, 0.0), mode="drop"
-                    ).at[res_c.i_gam].add(
-                        jnp.where(placed, 1.0, 0.0), mode="drop"
-                    ),
-                    e_scatter=tl.e_scatter
-                    + jnp.sum(d_e_p) + jnp.sum(d_e_c),
-                )
-                ph = ph._replace(
-                    e=jnp.where(sct, res_p.e, ph.e),
-                    w=jnp.where(sct, w_new_p, ph.w),
-                    mu=jnp.where(sct, res_p.mu, ph.mu),
-                    cphi=jnp.where(sct, res_p.cphi, ph.cphi),
-                    sphi=jnp.where(sct, res_p.sphi, ph.sphi),
-                )
-
-                def put(arr, vals):
-                    return arr.at[slot_w].set(vals, mode="drop")
-
-                ph = ph._replace(
-                    e=put(ph.e, res_c.e),
-                    w=put(ph.w, w_new_c),
-                    w0=put(ph.w0, jnp.maximum(w_new_c, 1e-30)),
-                    r=put(ph.r, ph.r),
-                    z=put(ph.z, ph.z),
-                    mu=put(ph.mu, res_c.mu),
-                    cphi=put(ph.cphi, res_c.cphi),
-                    sphi=put(ph.sphi, res_c.sphi),
-                    dcen=put(ph.dcen, ph.dcen),
-                    jz=put(ph.jz, ph.jz),
-                    kr=put(ph.kr, ph.kr),
-                    alive=put(ph.alive, placed),
-                )
-                return ph, tl
-        else:
-            def do_scatter(ph, tl):
-                cdf_rows = ctx.cdf_nt[zid]
-                res = scatter(
-                    k_scat, ph.e, ph.mu, ph.cphi, ph.sphi, cdf_rows,
-                    ctx.gnt, max_tries=st.max_scatter_tries, need=sct,
-                )
-                w_old = ph.w
-                w_new = ph.w * res.wscale
-                d_e = jnp.where(sct, w_new - w_old, 0.0)
-                tl = tl._replace(
-                    edep=(
-                        tl.edep.reshape(-1)
-                        + zone_accum(d_e, zid, st.nz * st.nr)
-                    ).reshape(st.nz, st.nr),
-                    e_ic=tl.e_ic.at[res.i_gam].add(d_e, mode="drop"),
-                    n_esp=tl.n_esp.at[res.i_gam].add(
-                        jnp.where(sct, 1.0, 0.0), mode="drop"
-                    ),
-                    e_scatter=tl.e_scatter + jnp.sum(d_e),
-                )
-                ph = ph._replace(
-                    e=jnp.where(sct, res.e, ph.e),
-                    w=jnp.where(sct, w_new, ph.w),
-                    mu=jnp.where(sct, res.mu, ph.mu),
-                    cphi=jnp.where(sct, res.cphi, ph.cphi),
-                    sphi=jnp.where(sct, res.sphi, ph.sphi),
-                )
-                return ph, tl
-
         ph, tl = jax.lax.cond(
-            jnp.any(sct), do_scatter, lambda ph, tl: (ph, tl), ph, tl
+            jnp.any(sct),
+            lambda ph, tl: apply_scatter(
+                ph, tl, sct, zid, sig_s, k_scat, ctx, st
+            ),
+            lambda ph, tl: (ph, tl),
+            ph, tl,
         )
 
         return it + 1, ph, tl, ev
@@ -542,6 +437,239 @@ def _flight_phase(
         cond, body, (it0, photons, tallies, events)
     )
     return photons, tallies, events, it_fin
+
+
+def _transport_step_pallas(
+    photons: PhotonArray,
+    tallies: Tallies,
+    events: EventBuffer,
+    key: jax.Array,
+    ctx: TrackContext,
+    st: TrackStatics,
+) -> Tuple[PhotonArray, Tallies, EventBuffer]:
+    """Plan-M4 tracking: the free-flight loop runs in the Pallas
+    megakernel (transport.flight_pallas); each outer round handles the
+    kernel-frozen events (Compton scatters via :func:`apply_scatter`,
+    boundary leaks via :func:`_leak`) and re-enters the kernel. Rounds
+    are bounded by the per-photon scatter/reflection count, so the
+    per-iteration SoA traffic all stays in VMEM."""
+    from compton2d_tpu.transport import flight_pallas as fpk
+
+    n = photons.n_slots
+    nzr = st.nz * st.nr
+    n_tiles = n // fpk.TILE
+
+    def geom_dummy(jn, kn, ph):
+        from compton2d_tpu.transport.geometry import FlightGeom
+
+        return FlightGeom(
+            trldb=jnp.zeros_like(ph.r), jnew=jn, knew=kn,
+            rbnd=ph.r, zbnd=ph.z,
+        )
+
+    def body(carry):
+        rnd, ph, tl, ev = carry
+        kit = jax.random.fold_in(key, rnd)
+        k_seed, k_scat, k_refl1, k_refl2 = jax.random.split(kit, 4)
+        seeds = jax.lax.bitcast_convert_type(
+            jax.random.bits(k_seed, (n_tiles,), jnp.uint32), jnp.int32
+        )
+        sk = fpk.precompute_opacity_rows(
+            ph.e, ctx.opac_zone, ctx.kgg_zone,
+            ctx.e_ph_log0, ctx.e_ph_dlog, ctx.e_gg_log0, ctx.e_gg_dlog,
+            bool(st.pair_switch),
+        )
+        (w, r, z, cphi, sphi, dcen, jz, kr, alive, flag, jn, kn,
+         tall) = fpk.flight_rounds(
+            ph.e, ph.w, ph.w0, ph.r, ph.z, ph.mu, ph.cphi, ph.sphi,
+            ph.dcen, ph.jz, ph.kr, ph.alive, sk,
+            ctx.r_edges, ctx.z_edges, seeds,
+            nz=st.nz, nr=st.nr, pair_switch=bool(st.pair_switch),
+            weight_floor=float(st.weight_floor),
+            max_iters=int(st.max_iters),
+            interpret=bool(st.pallas_interpret),
+        )
+        ph = ph._replace(
+            w=w, r=r, z=z, cphi=cphi, sphi=sphi, dcen=dcen,
+            jz=jz, kr=kr, alive=alive,
+        )
+        tl = tl._replace(
+            edep=tl.edep + tall[0].reshape(st.nz, st.nr),
+            prdep=tl.prdep + tall[1].reshape(st.nz, st.nr),
+            e_killed=tl.e_killed + jnp.sum(tall[2]),
+        )
+
+        # --- kernel-frozen leaks (boundary physics + event records) --
+        leak_mask = (flag == fpk.FLAG_LEAK) & ph.alive
+        g = geom_dummy(jn, kn, ph)
+        ph, tl, ev = jax.lax.cond(
+            jnp.any(leak_mask),
+            lambda ph, tl, ev: _leak(
+                ph, tl, ev, leak_mask, g, ctx, st, k_refl1, k_refl2
+            ),
+            lambda ph, tl, ev: (ph, tl, ev),
+            ph, tl, ev,
+        )
+
+        # --- kernel-frozen Compton scatters --------------------------
+        sct = (flag == fpk.FLAG_SCATTER) & ph.alive
+        zid = (
+            jnp.clip(ph.jz, 0, st.nz - 1) * st.nr
+            + jnp.clip(ph.kr, 0, st.nr - 1)
+        )
+        sig_s = jnp.maximum(
+            _loggrid_interp(
+                ctx.opac_zone, zid, ph.e, ctx.e_ph_log0, ctx.e_ph_dlog
+            )[:, 0],
+            1e-30,
+        )
+        ph, tl = jax.lax.cond(
+            jnp.any(sct),
+            lambda ph, tl: apply_scatter(
+                ph, tl, sct, zid, sig_s, k_scat, ctx, st
+            ),
+            lambda ph, tl: (ph, tl),
+            ph, tl,
+        )
+        return rnd + 1, ph, tl, ev
+
+    def cond(carry):
+        rnd, ph, _, _ = carry
+        return (rnd < st.max_iters) & jnp.any(ph.alive & (ph.dcen > 0.0))
+
+    _, photons, tallies, events = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), photons, tallies, events)
+    )
+    # stragglers past the round budget go to census as-is
+    photons = photons._replace(
+        dcen=jnp.where(photons.alive, 0.0, photons.dcen)
+    )
+    return photons, tallies, events
+
+
+def apply_scatter(ph, tl, sct, zid, sig_s, k_scat, ctx, st):
+    """Execute Compton scatters for the masked photons (the ikind=3
+    branch, imctrk2d.f:580-684), shared by the XLA flight loop and the
+    Pallas-kernel outer loop. ``sig_s`` is each photon's current-zone
+    scattering opacity (the stratified-splitting normalizer)."""
+    n = ph.n_slots
+
+    if st.strat_split:
+        # stratified tail splitting (the unbiased analogue of the
+        # split2/spl3 scheme, imctrk2d.f:593-661): parent samples
+        # the electron stratum below gamma_c, a copy in a free slot
+        # samples the tail stratum with weight fraction p_tail
+        cdf_rows = ctx.cdf_nt[zid]
+        c = cdf_rows[:, st.strat_icut]
+        p_tail = jnp.clip(1.0 - c, 0.0, 1.0)
+        want = (
+            sct
+            & (p_tail > st.strat_p_min)
+            & (p_tail <= st.strat_p_max)
+        )
+        free = ~ph.alive
+        cfree = jnp.cumsum(free.astype(jnp.int32))
+        n_free = cfree[-1]
+        rank = jnp.cumsum(want.astype(jnp.int32)) - 1
+        placed = want & (rank < n_free)
+        slot = jnp.searchsorted(
+            cfree, rank + 1, side="left"
+        ).astype(jnp.int32)
+        slot_w = jnp.where(placed, slot, n)
+
+        # 1/Z with Z = <sigma_KN ratio> = sig_s/(n_eff sigT L)
+        inv_z = 1.0 / jnp.maximum(
+            sig_s * ctx.inv_nsigt[zid], 1e-30
+        )
+        u_hi_par = jnp.where(placed, c, 1.0)
+        res_p = scatter_stratified(
+            k_scat, ph.e, ph.mu, ph.cphi, ph.sphi, cdf_rows,
+            ctx.gnt, u_lo=jnp.zeros_like(c), u_hi=u_hi_par,
+            inv_z=inv_z, max_tries=st.max_scatter_tries,
+            need=sct,
+        )
+        res_c = scatter_stratified(
+            jax.random.fold_in(k_scat, 1), ph.e, ph.mu,
+            ph.cphi, ph.sphi, cdf_rows, ctx.gnt,
+            u_lo=c, u_hi=jnp.ones_like(c), inv_z=inv_z,
+            max_tries=st.max_scatter_tries, need=placed,
+        )
+        w_pre_p = jnp.where(placed, ph.w * (1.0 - p_tail), ph.w)
+        w_new_p = w_pre_p * res_p.wscale
+        w_pre_c = ph.w * p_tail
+        w_new_c = w_pre_c * res_c.wscale
+        d_e_p = jnp.where(sct, w_new_p - w_pre_p, 0.0)
+        d_e_c = jnp.where(placed, w_new_c - w_pre_c, 0.0)
+        tl = tl._replace(
+            edep=(
+                tl.edep.reshape(-1)
+                + zone_accum(d_e_p + d_e_c, zid, st.nz * st.nr)
+            ).reshape(st.nz, st.nr),
+            e_ic=tl.e_ic.at[res_p.i_gam].add(
+                d_e_p, mode="drop"
+            ).at[res_c.i_gam].add(d_e_c, mode="drop"),
+            n_esp=tl.n_esp.at[res_p.i_gam].add(
+                jnp.where(sct, 1.0, 0.0), mode="drop"
+            ).at[res_c.i_gam].add(
+                jnp.where(placed, 1.0, 0.0), mode="drop"
+            ),
+            e_scatter=tl.e_scatter
+            + jnp.sum(d_e_p) + jnp.sum(d_e_c),
+        )
+        ph = ph._replace(
+            e=jnp.where(sct, res_p.e, ph.e),
+            w=jnp.where(sct, w_new_p, ph.w),
+            mu=jnp.where(sct, res_p.mu, ph.mu),
+            cphi=jnp.where(sct, res_p.cphi, ph.cphi),
+            sphi=jnp.where(sct, res_p.sphi, ph.sphi),
+        )
+
+        def put(arr, vals):
+            return arr.at[slot_w].set(vals, mode="drop")
+
+        ph = ph._replace(
+            e=put(ph.e, res_c.e),
+            w=put(ph.w, w_new_c),
+            w0=put(ph.w0, jnp.maximum(w_new_c, 1e-30)),
+            r=put(ph.r, ph.r),
+            z=put(ph.z, ph.z),
+            mu=put(ph.mu, res_c.mu),
+            cphi=put(ph.cphi, res_c.cphi),
+            sphi=put(ph.sphi, res_c.sphi),
+            dcen=put(ph.dcen, ph.dcen),
+            jz=put(ph.jz, ph.jz),
+            kr=put(ph.kr, ph.kr),
+            alive=put(ph.alive, placed),
+        )
+        return ph, tl
+
+    cdf_rows = ctx.cdf_nt[zid]
+    res = scatter(
+        k_scat, ph.e, ph.mu, ph.cphi, ph.sphi, cdf_rows,
+        ctx.gnt, max_tries=st.max_scatter_tries, need=sct,
+    )
+    w_old = ph.w
+    w_new = ph.w * res.wscale
+    d_e = jnp.where(sct, w_new - w_old, 0.0)
+    tl = tl._replace(
+        edep=(
+            tl.edep.reshape(-1)
+            + zone_accum(d_e, zid, st.nz * st.nr)
+        ).reshape(st.nz, st.nr),
+        e_ic=tl.e_ic.at[res.i_gam].add(d_e, mode="drop"),
+        n_esp=tl.n_esp.at[res.i_gam].add(
+            jnp.where(sct, 1.0, 0.0), mode="drop"
+        ),
+        e_scatter=tl.e_scatter + jnp.sum(d_e),
+    )
+    ph = ph._replace(
+        e=jnp.where(sct, res.e, ph.e),
+        w=jnp.where(sct, w_new, ph.w),
+        mu=jnp.where(sct, res.mu, ph.mu),
+        cphi=jnp.where(sct, res.cphi, ph.cphi),
+        sphi=jnp.where(sct, res.sphi, ph.sphi),
+    )
+    return ph, tl
 
 
 def _leak(ph, tl, ev, mask, g, ctx, st, k1, k2):

@@ -107,3 +107,55 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.array_equal(
         np.asarray(o1.tallies.ecens), np.asarray(o2.tallies.ecens)
     )
+
+
+def test_zone_shard_matches_replicated():
+    """run.zone_shard=True (FP/emissivity/pair zone farm over the mesh,
+    update2d.f:190-214 analogue) must produce bitwise-identical zone
+    state and tallies vs the fully-replicated zone path: per-zone
+    computation is placement-independent, and the photon stream is
+    keyed by (step, device) either way."""
+    import dataclasses
+
+    from compton2d_tpu.parallel.mesh import make_photon_mesh
+    from compton2d_tpu.examples import small_corona
+
+    mesh = make_photon_mesh(jax.devices()[:4])
+
+    def build(zone_shard):
+        sim = small_corona(
+            nz=3, nr=2, nst=1000, n_slots=2048, num_nt=40,
+            n_vol=48, nphfield=48, t_const=False, seed=11, mesh=mesh,
+            pair_switch=True,
+        )
+        # rebuild with the flag toggled (frozen dataclass)
+        cfg = dataclasses.replace(
+            sim.cfg, run=dataclasses.replace(
+                sim.cfg.run, zone_shard=zone_shard
+            )
+        )
+        from compton2d_tpu.driver import Simulation
+
+        return Simulation(cfg, mesh=mesh)
+
+    s_rep = build(False)
+    s_shard = build(True)
+    for _ in range(3):
+        o_rep = s_rep.step()
+        o_shard = s_shard.step()
+    for name in ("tea", "f_nt", "n_e", "gmin", "p_nth", "f_pair"):
+        a = np.asarray(getattr(s_rep.state.zones, name))
+        b = np.asarray(getattr(s_shard.state.zones, name))
+        assert np.array_equal(a, b), name
+    assert np.array_equal(
+        np.asarray(o_rep.tallies.ecens), np.asarray(o_shard.tallies.ecens)
+    )
+    assert np.array_equal(
+        np.asarray(o_rep.tallies.edep), np.asarray(o_shard.tallies.edep)
+    )
+    assert np.array_equal(
+        np.asarray(s_rep.state.k_gg), np.asarray(s_shard.state.k_gg)
+    )
+    a_rep = s_rep.energy_audit()
+    a_shard = s_shard.energy_audit()
+    assert np.isclose(a_rep["balance"], a_shard["balance"], rtol=1e-6)

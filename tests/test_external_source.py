@@ -9,7 +9,7 @@ from compton2d_tpu.io import diskgen
 def test_diskgen_shapes_and_planck_peak(tmp_path):
     path = str(tmp_path / "blackbody.in")
     tab = diskgen.write_spectrum_file(path, gamma_bulk=10.0)
-    assert tab.shape[1] == 4
+    assert tab.shape[1] == 5  # disk.f's 5-column format (disk.f:106-110)
     e = tab[:, 0]
     # disk BB at 3e4 K: kT = 2.6e-3 keV, flux peak at 2.82 kT ~ 7.3e-3
     peak = e[np.argmax(tab[:, 1])]

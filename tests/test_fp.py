@@ -100,3 +100,25 @@ def test_fp_include_coulomb_runs():
     import numpy as np
 
     assert np.isfinite(float(sim.state.zones.tea[0, 0]))
+
+
+def test_photon_fill_first_cycle_rates():
+    """photon_fill (update2d.f:1747-1921): the cycle-1 explicit
+    thermal-rate diagnostic. After one step the tallied field must
+    give a nonzero Compton rate in the interior, synchrotron must
+    cool (dT_sy <= 0), and the explicit Te estimate must be finite."""
+    from compton2d_tpu.examples import small_corona
+
+    sim = small_corona(nz=3, nr=2, nst=2000, n_slots=4096, seed=3)
+    sim.step()
+    r = sim.photon_fill_diagnostic()
+    for name, arr in r._asdict().items():
+        assert np.all(np.isfinite(np.asarray(arr))), name
+    # the disk-illuminated corona has photons everywhere after step 1:
+    # dT_c (from n_field x F_IC) must be nonzero in every zone
+    assert np.all(np.abs(np.asarray(r.dT_c)) > 0.0)
+    assert np.all(np.asarray(r.dT_sy) <= 0.0)
+    assert np.all(np.asarray(r.d_t_opt) > 0.0)
+    # Compton cooling of a 100 keV corona on a 0.5 keV disk field:
+    # total rate should be cooling-dominated somewhere
+    assert float(np.min(np.asarray(r.dT_total))) < 0.0

@@ -64,20 +64,65 @@ def child():
         hist += int(out.n_tracked)
     jax.block_until_ready(sim.state.photons.alive)
     dt = (time.time() - t0) / STEPS
+
+    # ---- checkpoint/resume cycle (per-process shard files, the
+    # analogue of the reference's pNNN_misc/census dumps) -------------
+    ckpt_ok = True
+    ckpt_path = os.environ.get("_WS_CKPT")
+    if ckpt_path:
+        from jax.experimental import multihost_utils
+
+        from compton2d_tpu.io.checkpoint import (
+            load_checkpoint, save_checkpoint,
+        )
+
+        def fingerprint(sim, steps=2):
+            fps = []
+            for _ in range(steps):
+                out = sim.step()
+                fps.append((
+                    float(jnp.sum(out.tallies.ecens)),
+                    float(jnp.sum(out.tallies.fout)),
+                    int(out.n_tracked),
+                ))
+            return fps
+
+        import jax.numpy as jnp
+
+        save_checkpoint(ckpt_path, sim.state)
+        if nproc > 1:
+            multihost_utils.sync_global_devices("ckpt_written")
+        saved_state = sim.state
+        fp_ref = fingerprint(sim)
+        sim.state = load_checkpoint(ckpt_path, saved_state)
+        fp_res = fingerprint(sim)
+        ckpt_ok = fp_ref == fp_res
+        if not ckpt_ok:
+            print(
+                f"# pid {pid}: resume mismatch {fp_ref} vs {fp_res}",
+                file=sys.stderr, flush=True,
+            )
+        assert ckpt_ok, "checkpoint/resume not bit-identical"
+
     if pid == 0:
         print(json.dumps({
             "processes": nproc, "devices": ndev,
             "step_s": dt, "histories_per_s": hist / (dt * STEPS),
+            "ckpt_resume_bitwise": bool(ckpt_ok),
         }), flush=True)
 
 
 def run_config(nproc: int, port: int) -> dict:
+    import tempfile
+
+    ckpt_dir = tempfile.mkdtemp(prefix="ws_ckpt_")
     procs = []
     for pid in range(nproc):
         env = dict(os.environ)
         env.update(
             _WS_CHILD="1", _WS_NPROC=str(nproc), _WS_PID=str(pid),
             _WS_PORT=str(port),
+            _WS_CKPT=os.path.join(ckpt_dir, "state.npz"),
         )
         procs.append(
             subprocess.Popen(
