@@ -288,17 +288,17 @@ class Simulation:
         self.state = SimState(
             zones=zones,
             photons=PhotonArray.empty(cfg.run.n_slots),
-            time=jnp.zeros((), jnp.float32),
-            dt=jnp.asarray(dt0, jnp.float32),
-            dt_prev=jnp.asarray(dt0, jnp.float32),
-            ncycle=jnp.zeros((), jnp.int32),
+            time=np.float32(0.0),
+            dt=np.float32(dt0),
+            dt_prev=np.float32(dt0),
+            ncycle=np.int32(0),
             key=jax.random.PRNGKey(cfg.run.seed),
-            ed_abs=jnp.zeros((g.nr,)),
-            ed_ref=jnp.zeros((g.nr,)),
-            k_gg=jnp.zeros((g.nz, g.nr, g.n_gg)),
-            dn_pp=jnp.zeros((g.nz, g.nr, g.num_nt)),
-            dne_pa=jnp.zeros((g.nz, g.nr, g.num_nt)),
-            dnp_pa=jnp.zeros((g.nz, g.nr, g.num_nt)),
+            ed_abs=np.zeros((g.nr,), np.float32),
+            ed_ref=np.zeros((g.nr,), np.float32),
+            k_gg=np.zeros((g.nz, g.nr, g.n_gg), np.float32),
+            dn_pp=np.zeros((g.nz, g.nr, g.num_nt), np.float32),
+            dne_pa=np.zeros((g.nz, g.nr, g.num_nt), np.float32),
+            dnp_pa=np.zeros((g.nz, g.nr, g.num_nt), np.float32),
         )
         if source_static is not None:
             # explicit override: window switching disabled
@@ -1106,14 +1106,48 @@ def _step_impl(
     return new_state, out
 
 
-def write_diagnostics(sim: "Simulation", out_dir: str):
+def write_diagnostics(sim: "Simulation", out_dir: str,
+                      extras: bool = False):
     """The reference's diagnostic dumps (SURVEY.md §4): icloss.dat,
-    seb.dat, fnt snapshots, nfield.dat, eic.dat."""
+    seb.dat, fnt snapshots, nfield.dat, eic.dat.
+
+    ``extras=True`` additionally dumps the reference-DEACTIVATED
+    emissivity channels (thermal cyclotron + pair-annihilation vdsigma
+    spectrum + the Eloss_cy tally, volume2d.f:253-339) — excluded from
+    the active budget in both codes (volume2d.f:347-353,
+    imcgen2d.f:328-331), recorded here for completeness."""
     import os
 
     from compton2d_tpu.io import outputs as outs
 
     os.makedirs(out_dir, exist_ok=True)
+    if extras:
+        from compton2d_tpu.physics import emissivity_extras as ex
+
+        e_ph = np.asarray(sim.tables.e_ph)
+        tea = np.asarray(sim.state.zones.tea)
+        n_e = np.asarray(sim.state.zones.n_e)
+        B = np.asarray(sim.state.zones.B_field)
+        j_cy, kap_cy = ex.cyclotron(e_ph, tea, n_e, B)
+        el_cy = ex.eloss_cy(e_ph, j_cy)
+        np.savetxt(
+            os.path.join(out_dir, "eloss_cy.dat"),
+            el_cy.reshape(tea.shape[0], -1), fmt="%14.6e",
+        )
+        np.savetxt(
+            os.path.join(out_dir, "j_cy.dat"),
+            j_cy.reshape(-1, e_ph.shape[0]), fmt="%14.6e",
+        )
+        if sim.cfg.physics.pair_switch:
+            j_pa = ex.annihilation_spectrum(
+                e_ph, np.asarray(sim.tables.gnt),
+                np.asarray(sim.state.zones.f_nt),
+                np.asarray(sim.state.zones.n_pos), n_e,
+            )
+            np.savetxt(
+                os.path.join(out_dir, "j_pa.dat"),
+                j_pa.reshape(-1, e_ph.shape[0]), fmt="%14.6e",
+            )
     t = sim.tables
     s = sim.state
     outs.write_icloss(

@@ -78,13 +78,18 @@ class PhotonArray(NamedTuple):
 
     @classmethod
     def empty(cls, n_slots: int) -> "PhotonArray":
-        zf = jnp.zeros((n_slots,), jnp.float32)
-        zi = jnp.zeros((n_slots,), jnp.int32)
+        # numpy host arrays: only built at init time (the first jitted
+        # step converts them); eager jnp fills each cost a tunnel
+        # compile on the axon TPU
+        import numpy as np
+
+        zf = np.zeros((n_slots,), np.float32)
+        zi = np.zeros((n_slots,), np.int32)
         return cls(
             e=zf, w=zf, w0=zf, r=zf, z=zf, mu=zf,
-            cphi=jnp.ones((n_slots,), jnp.float32), sphi=zf,
+            cphi=np.ones((n_slots,), np.float32), sphi=zf.copy(),
             dcen=zf, jz=zi, kr=zi,
-            alive=jnp.zeros((n_slots,), bool),
+            alive=np.zeros((n_slots,), bool),
         )
 
 
@@ -115,6 +120,10 @@ class Tallies(NamedTuple):
     e_src_lost: jnp.ndarray  # () source energy lost to slot overflow
     e_rr: jnp.ndarray      # () realized census-roulette energy delta
     n_rr: jnp.ndarray      # () int32 census photons rouletted away
+    trk_rounds: jnp.ndarray  # () int32 outer tracking rounds used
+                           # (Pallas mode: kernel re-entries; XLA
+                           # mode: flight-loop iterations) — the
+                           # roofline traffic model input
 
     @classmethod
     def zeros(cls, nz, nr, num_nt, nphfield, n_gg, nmu, nphtotal, nph_lc):
@@ -136,6 +145,7 @@ class Tallies(NamedTuple):
             e_src_lost=f(()),
             e_rr=f(()),
             n_rr=jnp.zeros((), jnp.int32),
+            trk_rounds=jnp.zeros((), jnp.int32),
         )
 
 
@@ -176,17 +186,26 @@ class SimState(NamedTuple):
 
 def init_zone_state(cfg: SimConfig, zone_init, tables) -> ZoneState:
     """Build the initial ZoneState from per-zone initial conditions
-    (setup2d.f:122-139)."""
+    (setup2d.f:122-139). The distribution build is one fused jit (a
+    chain of small eager ops costs ~2.5 s *per op* through the axon
+    tunnel's compile path)."""
+    import numpy as np
+
     from compton2d_tpu.physics import electron_dist as ed
 
-    f = lambda a: jnp.asarray(a, jnp.float32)
+    f = lambda a: np.asarray(a, np.float32)
     tea = f(zone_init.tea)
     amxwl = f(zone_init.amxwl)
     gmin = f(zone_init.gmin)
     gmax = f(zone_init.gmax)
     p_nth = f(zone_init.p_nth)
-    f_nt = ed.init_f_nt(tables.gnt, tea, amxwl, gmin, gmax, p_nth)
-    cdf = ed.build_cdf(f_nt, tables.gnt)
+
+    @jax.jit
+    def _build(gnt, tea, amxwl, gmin, gmax, p_nth):
+        f_nt = ed.init_f_nt(gnt, tea, amxwl, gmin, gmax, p_nth)
+        return f_nt, ed.build_cdf(f_nt, gnt)
+
+    f_nt, cdf = _build(tables.gnt, tea, amxwl, gmin, gmax, p_nth)
     shape = tea.shape
     num_nt = tables.gnt.shape[0]
     return ZoneState(
@@ -200,10 +219,10 @@ def init_zone_state(cfg: SimConfig, zone_init, tables) -> ZoneState:
         p_nth=p_nth,
         q_turb=f(zone_init.q_turb),
         turb_lev=f(zone_init.turb_lev),
-        ep_switch=jnp.asarray(zone_init.ep_switch, jnp.int32),
+        ep_switch=np.asarray(zone_init.ep_switch, np.int32),
         f_nt=f_nt,
         cdf_nt=cdf,
-        f_pair=jnp.zeros(shape),
-        n_pos=jnp.zeros(shape + (num_nt,)),
-        ec_old=jnp.zeros(shape),
+        f_pair=np.zeros(shape, np.float32),
+        n_pos=np.zeros(shape + (num_nt,), np.float32),
+        ec_old=np.zeros(shape, np.float32),
     )

@@ -432,6 +432,26 @@ def flight_rounds(
     )
 
 
+def _twohot_interp(e, table, log0, dlog):
+    """Log-linear interpolation of (n_bins, K) ``table`` at per-photon
+    energies via a two-hot weight matrix on the MXU: (n, n_bins) @
+    (n_bins, K). A per-photon row *gather* here costs ~10 ns/element on
+    TPU (the round-2 volume_em lesson) — 0.3 s/round at bench shapes;
+    the matmul is < 1 ms."""
+    n = e.shape[0]
+    n_bins = table.shape[0]
+    x = (jnp.log(jnp.maximum(e, 1e-30)) - log0) / dlog
+    x = jnp.clip(x, 0.0, n_bins - 1.000001)
+    i0 = jnp.floor(x).astype(jnp.int32)
+    f = (x - i0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n_bins), 1)
+    wmat = (
+        jnp.where(cols == i0[:, None], (1.0 - f)[:, None], 0.0)
+        + jnp.where(cols == i0[:, None] + 1, f[:, None], 0.0)
+    )
+    return jnp.dot(wmat, table, preferred_element_type=jnp.float32)
+
+
 def precompute_opacity_rows(
     e, opac_zone, kgg_zone, e_ph_log0, e_ph_dlog, e_gg_log0, e_gg_dlog,
     pair_switch: bool,
@@ -441,25 +461,14 @@ def precompute_opacity_rows(
     these rows are valid for a whole kernel round."""
     n = e.shape[0]
     nzr, n_vol = opac_zone.shape[0], opac_zone.shape[1]
-    loge = jnp.log(jnp.maximum(e, 1e-30))
-    x = (loge - e_ph_log0) / e_ph_dlog
-    x = jnp.clip(x, 0.0, n_vol - 1.000001)
-    i0 = jnp.floor(x).astype(jnp.int32)
-    f = (x - i0).astype(jnp.float32)
-    # (nzr, n_vol, 2) -> (n_vol, nzr, 2): row gather per photon
-    tab = opac_zone.transpose(1, 0, 2)
-    v0 = tab[i0]                       # (n, nzr, 2)
-    v1 = tab[i0 + 1]
-    sk = v0 * (1.0 - f)[:, None, None] + v1 * f[:, None, None]
+    # (nzr, n_vol, 2) -> (n_vol, nzr*2) interpolation target
+    tab = opac_zone.transpose(1, 0, 2).reshape(n_vol, nzr * 2)
+    sk = _twohot_interp(e, tab, e_ph_log0, e_ph_dlog).reshape(
+        n, nzr, 2
+    )
     if not pair_switch:
         return sk.reshape(n, nzr * 2)
-    ngg = kgg_zone.shape[1]
-    xg = (loge - e_gg_log0) / e_gg_dlog
-    xg = jnp.clip(xg, 0.0, ngg - 1.000001)
-    ig = jnp.floor(xg).astype(jnp.int32)
-    fg = (xg - ig).astype(jnp.float32)
-    tabg = kgg_zone.T                  # (ngg, nzr)
-    kv = tabg[ig] * (1.0 - fg)[:, None] + tabg[ig + 1] * fg[:, None]
+    kv = _twohot_interp(e, kgg_zone.T, e_gg_log0, e_gg_dlog)
     # below-grid extrapolation (tracking.py kgg scale-down)
     e0 = jnp.exp(e_gg_log0).astype(jnp.float32)
     kv = jnp.where(

@@ -98,10 +98,21 @@ def _sample_electron_and_angle(key, znu, draw_electron, max_tries, need):
 
 
 def _draw_from_cdf(u, cdf_rows, gnt):
-    """Inverse-CDF electron draw; cdf_rows shape (n, num_nt)."""
+    """Inverse-CDF electron draw; cdf_rows shape (n, num_nt).
+
+    The bin-midpoint lookup is a one-hot matmul rather than
+    ``gnt[idx]`` — per-lane scalar gathers cost ~10 ns each on TPU and
+    this runs inside the rejection retry loop (two gathers x n lanes x
+    tries ~ milliseconds per scatter round)."""
+    num_nt = gnt.shape[0]
     idx = jnp.sum((cdf_rows < u[:, None]).astype(jnp.int32), axis=-1)
-    idx = jnp.clip(idx, 1, gnt.shape[0] - 1)
-    gm1 = jnp.sqrt(gnt[idx] * gnt[idx - 1]).astype(jnp.float32)
+    idx = jnp.clip(idx, 1, num_nt - 1)
+    gm1_mid = jnp.sqrt(gnt[1:] * gnt[:-1]).astype(jnp.float32)
+    oh = (
+        idx[:, None] - 1
+        == jax.lax.broadcasted_iota(jnp.int32, (1, num_nt - 1), 1)
+    ).astype(jnp.float32)
+    gm1 = jnp.dot(oh, gm1_mid, preferred_element_type=jnp.float32)
     gamma = gm1 + 1.0
     beta = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (gamma * gamma), 0.0))
     return gamma, beta, idx.astype(jnp.int32)

@@ -212,8 +212,11 @@ def transport_step(
             photons, tallies, events, key, ctx, st
         )
     if not st.use_compaction:
-        photons, tallies, events, _ = _flight_phase(
+        photons, tallies, events, it_fin = _flight_phase(
             photons, tallies, events, key, ctx, st, st.max_iters, it0
+        )
+        tallies = tallies._replace(
+            trk_rounds=tallies.trk_rounds + it_fin
         )
         photons = photons._replace(
             dcen=jnp.where(photons.alive, 0.0, photons.dcen)
@@ -517,11 +520,15 @@ def _transport_step_pallas(
             jnp.clip(ph.jz, 0, st.nz - 1) * st.nr
             + jnp.clip(ph.kr, 0, st.nr - 1)
         )
+        # current-zone sigma from the precomputed rows (no gather):
+        # sk channel layout is zone-major [sigma, kappa(, kgg)]
+        nch = 3 if st.pair_switch else 2
+        oh = (
+            zid[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, st.nz * st.nr), 1)
+        ).astype(jnp.float32)
         sig_s = jnp.maximum(
-            _loggrid_interp(
-                ctx.opac_zone, zid, ph.e, ctx.e_ph_log0, ctx.e_ph_dlog
-            )[:, 0],
-            1e-30,
+            jnp.sum(oh * sk[:, 0::nch], axis=1), 1e-30
         )
         ph, tl = jax.lax.cond(
             jnp.any(sct),
@@ -537,14 +544,28 @@ def _transport_step_pallas(
         rnd, ph, _, _ = carry
         return (rnd < st.max_iters) & jnp.any(ph.alive & (ph.dcen > 0.0))
 
-    _, photons, tallies, events = jax.lax.while_loop(
+    rnd_fin, photons, tallies, events = jax.lax.while_loop(
         cond, body, (jnp.int32(0), photons, tallies, events)
     )
+    tallies = tallies._replace(trk_rounds=tallies.trk_rounds + rnd_fin)
     # stragglers past the round budget go to census as-is
     photons = photons._replace(
         dcen=jnp.where(photons.alive, 0.0, photons.dcen)
     )
     return photons, tallies, events
+
+
+def _zone_rows(table, zid, nzr):
+    """Per-photon row lookup table[zid] as a one-hot matmul — on TPU a
+    row *gather* costs ~10 ns/element (26M elements/round at bench
+    shapes); the (n, nzr) @ (nzr, k) matmul is ~0.05 ms. Falls back to
+    the gather for large zone counts where the one-hot would dominate."""
+    if table.shape[0] > 256:
+        return table[zid]
+    oh = (
+        zid[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, nzr), 1)
+    ).astype(table.dtype)
+    return jnp.dot(oh, table, preferred_element_type=jnp.float32)
 
 
 def apply_scatter(ph, tl, sct, zid, sig_s, k_scat, ctx, st):
@@ -559,7 +580,7 @@ def apply_scatter(ph, tl, sct, zid, sig_s, k_scat, ctx, st):
         # split2/spl3 scheme, imctrk2d.f:593-661): parent samples
         # the electron stratum below gamma_c, a copy in a free slot
         # samples the tail stratum with weight fraction p_tail
-        cdf_rows = ctx.cdf_nt[zid]
+        cdf_rows = _zone_rows(ctx.cdf_nt, zid, st.nz * st.nr)
         c = cdf_rows[:, st.strat_icut]
         p_tail = jnp.clip(1.0 - c, 0.0, 1.0)
         want = (
@@ -579,7 +600,7 @@ def apply_scatter(ph, tl, sct, zid, sig_s, k_scat, ctx, st):
 
         # 1/Z with Z = <sigma_KN ratio> = sig_s/(n_eff sigT L)
         inv_z = 1.0 / jnp.maximum(
-            sig_s * ctx.inv_nsigt[zid], 1e-30
+            sig_s * _zone_rows(ctx.inv_nsigt[:, None], zid, st.nz * st.nr)[:, 0], 1e-30
         )
         u_hi_par = jnp.where(placed, c, 1.0)
         res_p = scatter_stratified(
@@ -605,14 +626,14 @@ def apply_scatter(ph, tl, sct, zid, sig_s, k_scat, ctx, st):
                 tl.edep.reshape(-1)
                 + zone_accum(d_e_p + d_e_c, zid, st.nz * st.nr)
             ).reshape(st.nz, st.nr),
-            e_ic=tl.e_ic.at[res_p.i_gam].add(
-                d_e_p, mode="drop"
-            ).at[res_c.i_gam].add(d_e_c, mode="drop"),
-            n_esp=tl.n_esp.at[res_p.i_gam].add(
-                jnp.where(sct, 1.0, 0.0), mode="drop"
-            ).at[res_c.i_gam].add(
-                jnp.where(placed, 1.0, 0.0), mode="drop"
-            ),
+            e_ic=tl.e_ic
+            + zone_accum(d_e_p, res_p.i_gam, tl.e_ic.shape[0])
+            + zone_accum(d_e_c, res_c.i_gam, tl.e_ic.shape[0]),
+            n_esp=tl.n_esp
+            + zone_accum(jnp.where(sct, 1.0, 0.0), res_p.i_gam,
+                         tl.n_esp.shape[0])
+            + zone_accum(jnp.where(placed, 1.0, 0.0), res_c.i_gam,
+                         tl.n_esp.shape[0]),
             e_scatter=tl.e_scatter
             + jnp.sum(d_e_p) + jnp.sum(d_e_c),
         )
@@ -643,7 +664,7 @@ def apply_scatter(ph, tl, sct, zid, sig_s, k_scat, ctx, st):
         )
         return ph, tl
 
-    cdf_rows = ctx.cdf_nt[zid]
+    cdf_rows = _zone_rows(ctx.cdf_nt, zid, st.nz * st.nr)
     res = scatter(
         k_scat, ph.e, ph.mu, ph.cphi, ph.sphi, cdf_rows,
         ctx.gnt, max_tries=st.max_scatter_tries, need=sct,
@@ -656,9 +677,9 @@ def apply_scatter(ph, tl, sct, zid, sig_s, k_scat, ctx, st):
             tl.edep.reshape(-1)
             + zone_accum(d_e, zid, st.nz * st.nr)
         ).reshape(st.nz, st.nr),
-        e_ic=tl.e_ic.at[res.i_gam].add(d_e, mode="drop"),
-        n_esp=tl.n_esp.at[res.i_gam].add(
-            jnp.where(sct, 1.0, 0.0), mode="drop"
+        e_ic=tl.e_ic + zone_accum(d_e, res.i_gam, tl.e_ic.shape[0]),
+        n_esp=tl.n_esp + zone_accum(
+            jnp.where(sct, 1.0, 0.0), res.i_gam, tl.n_esp.shape[0]
         ),
         e_scatter=tl.e_scatter + jnp.sum(d_e),
     )
