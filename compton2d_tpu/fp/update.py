@@ -31,7 +31,11 @@ import jax.numpy as jnp
 
 from compton2d_tpu import constants as cn
 from compton2d_tpu.config import PhysicsConfig
-from compton2d_tpu.fp.chang_cooper import chang_cooper_coeffs, thomas_solve
+from compton2d_tpu.fp.chang_cooper import (
+    chang_cooper_coeffs,
+    pcr_solve,
+    thomas_solve,
+)
 from compton2d_tpu.physics import electron_dist as ed
 from compton2d_tpu.state import ZoneState
 from compton2d_tpu.tables import Tables
@@ -307,12 +311,12 @@ def fp_step(
                 disp = disp + disp_cp
 
         a, b, c = chang_cooper_coeffs(gnt, dgdt, disp, d_t, t_esc)
-        f_new = thomas_solve(a, b, c, f_inj)
+        f_new = pcr_solve(a, b, c, f_inj)
         f_new = f_new.at[..., 0].set(0.0).at[..., -1].set(0.0)
         if use_pairs:
             # positron distribution through the same operator (trid_p,
             # update2d.f:1399, 2524-2564)
-            npos_new = thomas_solve(a, b, c, npos)
+            npos_new = pcr_solve(a, b, c, npos)
             npos_new = npos_new.at[..., 0].set(0.0).at[..., -1].set(0.0)
         else:
             npos_new = npos

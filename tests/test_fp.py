@@ -122,3 +122,34 @@ def test_photon_fill_first_cycle_rates():
     # Compton cooling of a 100 keV corona on a 0.5 keV disk field:
     # total rate should be cooling-dominated somewhere
     assert float(np.min(np.asarray(r.dT_total))) < 0.0
+
+
+def test_pcr_matches_thomas():
+    """Parallel cyclic reduction vs the sequential Thomas solve on
+    Chang-Cooper-like diagonally-dominant systems (the production FP
+    path uses PCR: log2(N) vector rounds instead of a 2N-step scan)."""
+    from compton2d_tpu.fp.chang_cooper import pcr_solve
+
+    rng = np.random.default_rng(7)
+    Z, N = 8, 200
+    a = -rng.random((Z, N)) * 0.3
+    c = -rng.random((Z, N)) * 0.3
+    b = 1.0 + np.abs(a) + np.abs(c) + rng.random((Z, N))
+    a[:, 0] = c[:, -1] = 0.0
+    # boundary rows as chang_cooper_coeffs sets them
+    a[:, 0] = c[:, 0] = 0.0
+    b[:, 0] = 1.0
+    a[:, -1] = c[:, -1] = 0.0
+    b[:, -1] = 1.0
+    d = rng.random((Z, N))
+    ref = np.asarray(thomas_solve(
+        jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+        jnp.asarray(c, jnp.float32), jnp.asarray(d, jnp.float32),
+        clamp_negative=False,
+    ))
+    got = np.asarray(pcr_solve(
+        jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+        jnp.asarray(c, jnp.float32), jnp.asarray(d, jnp.float32),
+        clamp_negative=False,
+    ))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
