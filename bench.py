@@ -32,16 +32,19 @@ PEAK_HBM_GBS = 819.0   # TPU v5e public spec
 def _measure(sim, steps):
     import jax
 
-    histories = 0
-    rounds = 0
+    outs = []
     jax.block_until_ready(sim.state.photons.alive)
     t0 = time.time()
     for _ in range(steps):
         out = sim.step()
-        histories += int(out.n_tracked)
-        rounds += int(out.tallies.trk_rounds)
-    jax.block_until_ready(sim.state.photons.alive)
-    return time.time() - t0, histories, rounds
+        # defer the scalar fetches: an int() here is a blocking device
+        # round trip per step (60+ ms through the axon tunnel)
+        outs.append((out.n_tracked, out.tallies.trk_rounds))
+    jax.block_until_ready(outs[-1][0])
+    dt = time.time() - t0
+    histories = sum(int(a) for a, _ in outs)
+    rounds = sum(int(b) for _, b in outs)
+    return dt, histories, rounds
 
 
 def main():

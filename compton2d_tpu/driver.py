@@ -258,7 +258,35 @@ def _estimate_energy_scale(cfg: SimConfig, zone_init: ZoneInit) -> float:
 
 
 class Simulation:
-    """Owns the static configuration, tables, and the jitted step."""
+    """Owns the static configuration, tables, and the jitted step.
+
+    Host clock mirror: ``time``/``dt``/``ncycle`` advance
+    deterministically (dt is constant by design, see module docstring),
+    so the driver tracks them host-side instead of fetching the device
+    scalars every step — each ``float(state.time)`` is a blocking
+    device round trip that serializes against the in-flight step
+    (measured ~60 ms/step through the axon tunnel, 6x the device
+    compute of the non-tracking phases). Externally assigning
+    ``sim.state`` (checkpoint restore) marks the mirror dirty; the next
+    ``step()`` resyncs it with one fetch.
+    """
+
+    @property
+    def state(self) -> SimState:
+        return self._state
+
+    @state.setter
+    def state(self, s: SimState):
+        self._state = s
+        self._clock_dirty = True
+
+    def _sync_clock(self):
+        if getattr(self, "_clock_dirty", True):
+            self._host_time = float(self._state.time)
+            self._host_dt = float(self._state.dt)
+            self._host_dt_prev = float(self._state.dt_prev)
+            self._host_ncycle = int(self._state.ncycle)
+            self._clock_dirty = False
 
     def __init__(
         self,
@@ -434,17 +462,22 @@ class Simulation:
         return self
 
     def step(self) -> StepOutputs:
+        self._sync_clock()
         if self.window_sources is not None:
             # per-step boundary-window pick by time + dt/2
             # (imcgen2d.f:111-120); host-side, shapes fixed by the
             # spectrum bank so this never recompiles the step
             self.src_static = self.window_sources.select(
-                float(self.state.time), float(self.state.dt),
-                int(self.state.ncycle),
+                self._host_time, self._host_dt, self._host_ncycle
             )
-        self.state, out = self._step_jit(
-            self.state, self.src_static, self.grid, self.tables
+        self._state, out = self._step_jit(
+            self._state, self.src_static, self.grid, self.tables
         )
+        # advance the host clock mirror exactly as _step_impl does
+        # (xec2d.f:100-106: time += dt, constant dt)
+        self._host_time += self._host_dt
+        self._host_dt_prev = self._host_dt
+        self._host_ncycle += 1
         self.last_outputs = out
         if getattr(self, "outputs", None) is not None:
             # writing already syncs; account event-buffer overflow here
@@ -453,8 +486,8 @@ class Simulation:
             self._check_event_overflow(out)
             self.outputs.add_step(
                 out.tallies,
-                float(self.state.time) - float(self.state.dt_prev),
-                float(self.state.dt_prev),
+                self._host_time - self._host_dt_prev,
+                self._host_dt_prev,
                 tea=np.asarray(self.state.zones.tea),
             )
             self.event_writer.write(out.events)
@@ -482,8 +515,11 @@ class Simulation:
             self.cfg.run.checkpoint_frac,
         )
         for _ in range(max_steps):
-            t = float(self.state.time)
-            if t - float(self.state.dt_prev) >= self.cfg.run.t_stop:
+            self._sync_clock()
+            if (
+                self._host_time - self._host_dt_prev
+                >= self.cfg.run.t_stop
+            ):
                 break
             if guard.should_checkpoint():
                 if checkpoint_path:

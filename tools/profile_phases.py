@@ -36,16 +36,17 @@ def timed_run(steps=5, warmup=2, **kw):
         nz=8, nr=4, nst=60000, n_slots=1 << 17, num_nt=200,
         n_vol=400, nphfield=400, **kw,
     )
-    histories = 0
     for _ in range(warmup):
         sim.step()
     jax.block_until_ready(sim.state.photons.alive)
     t0 = time.time()
+    outs = []
     for _ in range(steps):
         out = sim.step()
-        histories += int(out.n_tracked)
-    jax.block_until_ready(sim.state.photons.alive)
-    return (time.time() - t0) / steps, histories / steps
+        outs.append(out.n_tracked)
+    jax.block_until_ready(outs[-1])
+    dt = (time.time() - t0) / steps
+    return dt, sum(int(x) for x in outs) / steps
 
 
 def main():

@@ -65,14 +65,15 @@ def timed(sim, steps):
         sim.step()
     jax.block_until_ready(sim.state.photons.alive)
     t0 = time.time()
-    rounds = 0
-    hist = 0
+    outs = []
     for _ in range(steps):
         out = sim.step()
-        rounds += int(out.tallies.trk_rounds)
-        hist += int(out.n_tracked)
-    jax.block_until_ready(sim.state.photons.alive)
-    return (time.time() - t0) / steps, rounds / steps, hist / steps
+        outs.append((out.tallies.trk_rounds, out.n_tracked))
+    jax.block_until_ready(outs[-1][0])
+    dt = (time.time() - t0) / steps
+    rounds = sum(int(a) for a, _ in outs) / steps
+    hist = sum(int(b) for _, b in outs) / steps
+    return dt, rounds, hist
 
 
 def analyze(mode: str, steps: int):
