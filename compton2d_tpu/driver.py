@@ -1056,9 +1056,14 @@ def _step_impl(
             # device solves its zone slice, the updated ZoneState
             # (small: ~Z*num_nt f32) is all-gathered
             zones_fp_s = jax.tree_util.tree_map(zslice, zones_fp)
+            zvalid = None
             if zmask is not None:
                 # padded zones are made inert (no protons -> skipped by
-                # the tna>1 guard, zero leptons -> zero energy)
+                # the tna>1 guard, zero leptons -> zero energy); the
+                # explicit validity mask additionally gates injection
+                # (which is independent of n_e/tna) and the e_el audit
+                # sums inside fp_step
+                zvalid = zmask
                 zones_fp_s = zones_fp_s._replace(
                     n_e=jnp.where(zmask, zones_fp_s.n_e, 0.0),
                     tna=jnp.where(zmask, zones_fp_s.tna, 0.0),
@@ -1075,6 +1080,7 @@ def _step_impl(
                 dnp_pa=zslice(state.dnp_pa), coulomb=coulomb_tables,
                 j_row=zslice(j_row_full),
                 slab_vol=jnp.sum(grid.vol) / nz,
+                zone_valid=zvalid,
             )
             fpr = fpr._replace(
                 zones=jax.tree_util.tree_map(zgather, fpr.zones),

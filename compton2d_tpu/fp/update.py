@@ -75,6 +75,10 @@ def fp_step(
                                  # passed explicitly when the zone axis
                                  # is device-sharded (parallel zone
                                  # farm, update2d.f:190-214 analogue)
+    zone_valid: jnp.ndarray = None,  # (nz, nr) bool; False marks pad
+                                 # zones of a device-sharded slice:
+                                 # injection and the e_el audit sums are
+                                 # gated so padding never contributes
 ) -> FPResult:
     """All energies scaled by scales.E, volumes by scales.L^3; heating
     rates hr_* are in E/s. Rates (1/s) need no scaling."""
@@ -113,6 +117,11 @@ def fp_step(
     tna = zones.tna.reshape(Z).astype(f32)
     turb = zones.turb_lev.reshape(Z).astype(f32)
 
+    if zone_valid is None:
+        valid = jnp.ones((Z,), bool)
+    else:
+        valid = zone_valid.reshape(Z)
+
     # electron energy audit (update2d.f:482-497), scaled energies
     def e_tot(f, nloc):
         return (
@@ -120,7 +129,7 @@ def fp_step(
             * (nloc * (k_mec2_vol * volume))
         )
 
-    e_el_old = jnp.sum(e_tot(f_old, ne))
+    e_el_old = jnp.sum(jnp.where(valid, e_tot(f_old, ne), 0.0))
 
     # ---- static drift pieces -----------------------------------------
     # IC drift: (Z, nph) @ (nph, num_nt) on the MXU (update2d.f:568-574)
@@ -217,7 +226,7 @@ def fp_step(
         if inj.pickup:
             # constant pick-up, Gaussian profile (update2d.f:1229-1245)
             psum = jnp.maximum(jnp.sum(gauss_prof * wdg), 1e-30)
-            inj_rho = jnp.full((Z,), inj.pickup_rate) * d_t
+            inj_rho = jnp.where(valid, inj.pickup_rate, 0.0) * d_t
             f_inj = f_inj + (
                 inj_rho[:, None] * gauss_prof[None, :] / psum
                 / jnp.maximum(ne, 1e-30)[:, None]
@@ -271,7 +280,9 @@ def fp_step(
             # gamma grid (g1 above gnt[-1]): inj_sum ~ 0 would otherwise
             # blow the rate up through the floor
             ok_inj = inj_sum[:, 0] > 1e-20
-            inj_rho = jnp.where(active & ok_inj, inj_rate * d_t, 0.0)
+            inj_rho = jnp.where(
+                active & ok_inj & valid, inj_rate * d_t, 0.0
+            )
             f_inj = f_inj + (
                 inj_rho[:, None] * prof / inj_sum
                 / jnp.maximum(ne, 1e-30)[:, None]
@@ -358,7 +369,9 @@ def fp_step(
     dT = jnp.abs(te_new - tea0) / jnp.maximum(te_new, 1e-30)
     dT_max = jnp.max(dT)
 
-    e_el_new = jnp.sum(e_tot(f_fin, np_fin * (1.0 + f_pair)))
+    e_el_new = jnp.sum(
+        jnp.where(valid, e_tot(f_fin, np_fin * (1.0 + f_pair)), 0.0)
+    )
 
     # adaptive dt (update2d.f:232-243)
     dt_new = jnp.where(
