@@ -81,7 +81,8 @@ def main():
     # model-based anchor: per-round HBM traffic of the pallas tracking
     # path (see tools/roofline.py for the byte model) vs the v5e peak.
     n = sim.cfg.run.n_slots
-    C = sim.cfg.grid.nz * sim.cfg.grid.nr * 2
+    nch = 3 if sim.cfg.physics.pair_switch else 2
+    C = sim.cfg.grid.nz * sim.cfg.grid.nr * nch
     per_round = 2 * 12 * n * 4 + 6 * n * C * 4
     model_s_bound = rounds * per_round / (PEAK_HBM_GBS * 1e9)
     # tracking share of the measured time is not re-ablated here (the

@@ -1081,6 +1081,7 @@ def _step_impl(
                 j_row=zslice(j_row_full),
                 slab_vol=jnp.sum(grid.vol) / nz,
                 zone_valid=zvalid,
+                eloss_br=zslice(ve.eloss_br),
             )
             fpr = fpr._replace(
                 zones=jax.tree_util.tree_map(zgather, fpr.zones),
@@ -1098,6 +1099,7 @@ def _step_impl(
                 dn_pp=state.dn_pp, dne_pa=state.dne_pa,
                 dnp_pa=state.dnp_pa,
                 coulomb=coulomb_tables,
+                eloss_br=ve.eloss_br,
             )
         # the flare modifications to tna/turb_lev are ephemeral
         # (Tp_flare, update2d.f:558)

@@ -9,8 +9,11 @@ zones (the reference farms one zone per MPI worker):
 - synchrotron drift dg_sy with the Razin-like gamma_R suppression
   (update2d.f:880-887), hard-sphere stochastic acceleration
   dg_A = gamma/t_acc, disp_A = gamma^2/(2 t_acc) (update2d.f:1035-1037);
-- optional Coulomb/Moller and bremsstrahlung drifts (computed but
-  excluded from the reference's active operator, update2d.f:1048-1049);
+- optional Coulomb/Moller drifts (fp_include_coulomb) and the
+  bremsstrahlung drift dg_br = -f_br * gamma^1.1 normalized to the
+  tallied Eloss_br (fp_include_bremsstrahlung; update2d.f:864-878) —
+  both computed by the reference but excluded from its active operator
+  (update2d.f:1048-1049), so both default off here;
 - implicit sub-stepping with d_t = f_t_implicit * dt,
   f_t_implicit = clip(df_implicit*Te/|dT|, df_T) (update2d.f:662-666),
   as a bounded while_loop with per-zone completion masks;
@@ -79,6 +82,9 @@ def fp_step(
                                  # zones of a device-sharded slice:
                                  # injection and the e_el audit sums are
                                  # gated so padding never contributes
+    eloss_br: jnp.ndarray = None,  # (nz, nr) [E] per step; enables the
+                                 # dg_br drift when
+                                 # phys.fp_include_bremsstrahlung is set
 ) -> FPResult:
     """All energies scaled by scales.E, volumes by scales.L^3; heating
     rates hr_* are in E/s. Rates (1/s) need no scaling."""
@@ -139,6 +145,18 @@ def fp_step(
     f_sy = 1.058e-15 * B * B / cn.MEC2_ERG             # (Z,) 1/s
     dg_A = gamma[None, :] / t_acc
     disp_A = gamma[None, :] ** 2 / (2.0 * t_acc)
+
+    # bremsstrahlung drift dg_br = -f_br * gamma^1.1 with f_br
+    # normalized so the distribution-integrated loss rate equals the
+    # tallied emissivity Eloss_br (update2d.f:674-676, 864-865, 878)
+    dg_br = None
+    if phys.fp_include_bremsstrahlung and eloss_br is not None:
+        sum_g11 = jnp.sum(gamma ** 1.1 * f_old * wdg, axis=-1)
+        f_br = eloss_br.reshape(Z).astype(f32) / jnp.maximum(
+            (k_mec2_vol * volume) * dt.astype(f32) * n_lept * sum_g11,
+            1e-30,
+        )
+        dg_br = -f_br[:, None] * gamma[None, :] ** 1.1
 
     # flare turbulence enhancement (update2d.f:543-558) is applied by the
     # driver as a time/space Gaussian added to turb_lev before calling in
@@ -305,6 +323,8 @@ def fp_step(
             -1e-50,
         )
         dgdt = dg_sy + dg_ic + dg_A
+        if dg_br is not None:
+            dgdt = dgdt + dg_br
         disp = disp_A
         if phys.fp_include_coulomb:
             if coulomb is not None:

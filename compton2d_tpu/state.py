@@ -83,12 +83,17 @@ class PhotonArray(NamedTuple):
         # compile on the axon TPU
         import numpy as np
 
-        zf = np.zeros((n_slots,), np.float32)
-        zi = np.zeros((n_slots,), np.int32)
+        # distinct buffers per field: aliasing one zero array across
+        # fields would let a host-side in-place write to one silently
+        # corrupt the others
+        def zf():
+            return np.zeros((n_slots,), np.float32)
+
         return cls(
-            e=zf, w=zf, w0=zf, r=zf, z=zf, mu=zf,
-            cphi=np.ones((n_slots,), np.float32), sphi=zf.copy(),
-            dcen=zf, jz=zi, kr=zi,
+            e=zf(), w=zf(), w0=zf(), r=zf(), z=zf(), mu=zf(),
+            cphi=np.ones((n_slots,), np.float32), sphi=zf(),
+            dcen=zf(), jz=np.zeros((n_slots,), np.int32),
+            kr=np.zeros((n_slots,), np.int32),
             alive=np.zeros((n_slots,), bool),
         )
 

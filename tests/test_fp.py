@@ -153,3 +153,32 @@ def test_pcr_matches_thomas():
         clamp_negative=False,
     ))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_fp_include_bremsstrahlung_cools():
+    """The optional dg_br drift (update2d.f:864-878: dg_br =
+    -f_br*gamma^1.1, f_br normalized to the tallied Eloss_br) must cool
+    the electrons relative to the flag-off run on an identical config,
+    and be a no-op when Eloss_br is zero."""
+    import dataclasses
+
+    from compton2d_tpu.examples import small_corona
+
+    def run(flag):
+        sim = small_corona(
+            nz=2, nr=2, nst=300, n_slots=1024, num_nt=40, n_vol=64,
+            nphfield=32, t_const=False, seed=5, n_e=1.0e16,
+            fp_include_bremsstrahlung=flag,
+        )
+        for _ in range(4):
+            sim.step()
+        return np.asarray(sim.state.zones.tea)
+
+    te_off = run(False)
+    te_on = run(True)
+    assert np.all(np.isfinite(te_on))
+    # brems is a pure loss channel: switching it on must cool the hot
+    # dense zones substantially; the tolerance allows sub-mkeV wiggle
+    # from the operator-dependent substep sizes
+    assert np.all(te_on <= te_off * 1.001 + 1e-3)
+    assert np.any(te_on < te_off - 1.0), (te_on, te_off)

@@ -72,3 +72,71 @@ def test_zone_sigma_table_matmul_matches_loop():
     want = np.einsum("zrg,eg->zre", f_nt * w, sig_tab) * n_e[..., None]
     want = np.maximum(want, 1e-40)
     assert np.allclose(got, want, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# comp0 oracle: the reference's embedded cold Klein-Nishina table
+# ---------------------------------------------------------------------------
+_IMCDATE = "/root/reference/src/imcdate2d.f"
+
+
+def _load_comp0():
+    """Parse the comp0(201) DATA statements from the reference's
+    embedded Compton data tables (/root/reference/src/imcdate2d.f:97-167;
+    axes documented at comtot2d.f:25-26: comp0(i) is the cold total
+    Compton cross section [cm^2] at xnu = 5*(i-1) keV, i=1..201)."""
+    import re
+
+    vals = []
+    with open(_IMCDATE) as fh:
+        lines = fh.readlines()
+    in_block = False
+    for ln in lines:
+        if re.match(r"\s*data \(comp0\(i\)", ln):
+            in_block = True
+            continue
+        if in_block:
+            nums = re.findall(r"([0-9]+\.[0-9]+)d([+-]?[0-9]+)", ln)
+            vals.extend(float(m) * 10.0 ** int(e) for m, e in nums)
+            if "/" in ln:
+                in_block = False
+    assert len(vals) == 201, len(vals)
+    return np.array(vals)
+
+
+def test_kn_total_sigma_matches_comp0_oracle():
+    """Golden test of the closed-form KN total cross section against the
+    reference's own tabulated comp0 data (imcdate2d.f). The table was
+    generated with sigma_T = 6.6516e-25 cm^2 (comp0(1) exactly) while
+    the live nonthermal path in comtot2d.f:162 (and this module) uses
+    6.65e-25; the comparison is therefore on the Thomson-normalized
+    shape, plus a check that the overall scale ratio is exactly the
+    sigma_T ratio."""
+    comp0 = _load_comp0()
+    E = 5.0 * np.arange(201)          # keV (comtot2d.f:26)
+    kn = np.asarray(
+        compton.kn_total_sigma(jnp.asarray(E, jnp.float64))
+    ).astype(np.float64)
+    # overall scale = table's sigma_T / module's sigma_T
+    ratio = comp0 / kn
+    scale = 6.6516e-25 / compton.SIGMA_T
+    assert np.isclose(ratio[0], scale, rtol=1e-6)
+    # shape agreement bin-by-bin at table precision; the last entry is
+    # a duplicate of i=200 in the reference data (imcdate2d.f:166) so
+    # it is excluded
+    dev = np.abs(ratio[:-1] / scale - 1.0)
+    assert dev.max() < 5e-5, dev.max()
+
+
+def test_sigma_e_cold_limit_matches_comp0_oracle():
+    """sigma_e(E, gamma->1) bin-by-bin against comp0: the
+    electron-averaged Coppi sigma_E must reduce to the cold KN total in
+    the gamma->1 limit at every table energy."""
+    comp0 = _load_comp0()
+    E = 5.0 * np.arange(1, 200)       # skip E=0 (sigma_e needs x>0)
+    se = np.asarray(
+        compton.sigma_e(jnp.asarray(E, jnp.float64), 1.0 + 1e-8)
+    ).astype(np.float64)
+    scale = 6.6516e-25 / compton.SIGMA_T
+    dev = np.abs(comp0[1:200] / (se * scale) - 1.0)
+    assert dev.max() < 2e-3, dev.max()
