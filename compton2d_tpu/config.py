@@ -293,6 +293,13 @@ class RunConfig:
     event_file: str = "evb.dat"
     walltime_budget_s: float = 0.0   # 0 = no walltime checkpointing
     checkpoint_frac: float = 0.95    # checkpoint at this fraction of budget
+    # opt-in adaptive time step: apply the FP dT_max ladder
+    # (update2d.f:232-243, dt_min=dr_min/c guard at :257) to the next
+    # step's dt. The reference computes the ladder but its apply site is
+    # dead code (verified), so constant dt stays the faithful default.
+    # When on, the host clock mirror fetches dt after each step (one
+    # small blocking device read per step).
+    adaptive_dt: bool = False
 
 
 @dataclass(frozen=True)

@@ -478,6 +478,10 @@ class Simulation:
         self._host_time += self._host_dt
         self._host_dt_prev = self._host_dt
         self._host_ncycle += 1
+        if self.cfg.run.adaptive_dt:
+            # the ladder picked the next dt on device; mirror it (one
+            # small blocking fetch — the documented cost of the opt-in)
+            self._host_dt = float(self._state.dt)
         self.last_outputs = out
         if getattr(self, "outputs", None) is not None:
             # writing already syncs; account event-buffer overflow here
@@ -1126,10 +1130,30 @@ def _step_impl(
         fp_sub = jnp.zeros((), jnp.int32)
 
     # ---- 5. advance time (xec2d.f:100-106: constant dt) -------------
+    # opt-in adaptive dt (run.adaptive_dt): apply the FP ladder's
+    # dt_new (update2d.f:232-243) with the dt_min = dr_min/c guard
+    # (update2d.f:257). The reference computes this ladder but its
+    # apply site is dead code, so constant dt remains the faithful
+    # default; this is the completion of what the authors wired up.
+    dt_next = state.dt
+    if run.adaptive_dt and do_fp:
+        dt_min = (
+            jnp.minimum(jnp.min(jnp.diff(grid.r_edges)), grid.dz)
+            * jnp.float32(scales.L / cn.C_LIGHT)
+        )
+        dt_next = jnp.where(
+            state.ncycle > 0,
+            jnp.maximum(
+                fpr.dt_new.astype(state.dt.dtype),
+                dt_min.astype(state.dt.dtype),
+            ),
+            state.dt,
+        )
     new_state = state._replace(
         zones=zones_new,
         photons=photons,
         time=state.time + state.dt,
+        dt=dt_next,
         dt_prev=state.dt,
         ncycle=state.ncycle + 1,
         ed_abs=tallies.ed_in - tallies.ed_ref,

@@ -165,3 +165,74 @@ def test_external_spectrum_cdf():
     assert cdf[0] == 0.0 and np.isclose(cdf[-1], 1.0)
     assert np.all(np.diff(cdf) >= 0)
     assert tot > 0
+
+
+def test_malformed_input_names_the_field(tmp_path):
+    """reader.f errors.txt parity: a malformed value must raise
+    LegacyConfigError naming the field and line, not a bare float()
+    traceback or a silently shifted parse."""
+    import pytest
+
+    _write_sample(str(tmp_path))
+    path = os.path.join(str(tmp_path), "input.dat")
+    with open(path) as fh:
+        lines = fh.readlines()
+    # corrupt the z_max value (line 3)
+    lines[2] = "z height [cm]".ljust(80) + "bogus\n"
+    with open(path, "w") as fh:
+        fh.writelines(lines)
+    with pytest.raises(legacy.LegacyConfigError, match="z_max"):
+        legacy.parse_input_dat(path)
+
+
+def test_truncated_input_names_the_field(tmp_path):
+    import pytest
+
+    _write_sample(str(tmp_path))
+    path = os.path.join(str(tmp_path), "input.dat")
+    with open(path) as fh:
+        lines = fh.readlines()
+    with open(path, "w") as fh:
+        fh.writelines(lines[:-4])      # drop the splitting block tail
+    with pytest.raises(legacy.LegacyConfigError, match="split|spl3"):
+        legacy.parse_input_dat(path)
+
+
+def test_invalid_ranges_are_collected(tmp_path):
+    """Range/consistency validation: r_max <= r_min and a reversed
+    spectral region are both reported, each naming its field."""
+    import pytest
+
+    _write_sample(str(tmp_path))
+    path = os.path.join(str(tmp_path), "input.dat")
+    with open(path) as fh:
+        lines = fh.readlines()
+    lines[3] = "rmin [cm]".ljust(80) + "3.0000000e15\n"   # > r_max
+    lines[10] = "t1".ljust(80) + "-1.0000000e00\n"        # t1 < t0
+    with open(path, "w") as fh:
+        fh.writelines(lines)
+    with pytest.raises(legacy.LegacyConfigError) as ei:
+        legacy.parse_input_dat(path)
+    msg = str(ei.value)
+    assert "r_max" in msg and "window[0]" in msg
+
+
+def test_missing_zone_file_named(tmp_path):
+    import pytest
+
+    _write_sample(str(tmp_path))
+    os.remove(os.path.join(str(tmp_path), "input_02_01.dat"))
+    with pytest.raises(legacy.LegacyConfigError, match="input_02_01"):
+        legacy.load_legacy_config(str(tmp_path))
+
+
+def test_config_echo_written(tmp_path):
+    """log.txt echo parity (reader.f:170-201): every scalar field and
+    the window table appear in the echo file."""
+    _write_sample(str(tmp_path))
+    echo = os.path.join(str(tmp_path), "log.txt")
+    legacy.load_legacy_config(str(tmp_path), echo_path=echo)
+    text = open(echo).read()
+    for frag in ("nz = 2", "tstop = 100000", "window[0]", "split1 = 1",
+                 "g_bulk = 10", "nst = 5000"):
+        assert frag in text, frag

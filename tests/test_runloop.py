@@ -74,3 +74,36 @@ def test_sharded_event_flush(tmp_path):
     if n > 0:
         data = np.loadtxt(tmp_path / "evb.dat").reshape(-1, 7)
         assert data.shape[0] == n
+
+
+def test_adaptive_dt_grows_when_quiet():
+    """run.adaptive_dt: the FP dT_max ladder (update2d.f:232-243) must
+    grow dt (x3 per step) when temperature changes are small, and the
+    host clock mirror must track the device dt exactly."""
+    import dataclasses
+
+    import numpy as np
+
+    from compton2d_tpu.examples import small_corona
+
+    sim = small_corona(
+        nz=2, nr=2, nst=200, n_slots=1024, num_nt=40, n_vol=32,
+        nphfield=32, t_const=False, seed=9,
+        # optically thin + weak coupling: dT_max ~ 0 -> ladder grows
+        n_e=1.0e2,
+    )
+    cfg = dataclasses.replace(
+        sim.cfg, run=dataclasses.replace(sim.cfg.run, adaptive_dt=True)
+    )
+    from compton2d_tpu.driver import Simulation
+
+    sim = Simulation(cfg)
+    dt0 = float(sim.state.dt)
+    sim.step()          # ncycle 0: no FP application yet
+    sim.step()
+    sim.step()
+    dt2 = float(sim.state.dt)
+    assert dt2 > 2.0 * dt0, (dt0, dt2)
+    assert np.isclose(sim._host_dt, dt2, rtol=0, atol=0)
+    # time advanced consistently with the varying dt
+    assert np.isclose(sim._host_time, float(sim.state.time), rtol=1e-6)
