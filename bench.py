@@ -100,6 +100,21 @@ def main():
         mdt, mhist, _ = _measure(sim2, steps)
         mrk_value = mhist / mdt
 
+    # compiled-Pallas vs XLA physics equivalence gate
+    # (tools/pallas_e2e.py; BENCH_PALLAS_E2E=0 to skip): records in the
+    # BENCH JSON that the Mosaic-compiled kernel reproduces the
+    # validated XLA path's physics on this chip
+    e2e = None
+    if int(os.environ.get("BENCH_PALLAS_E2E", 1)) and size != "small":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.pallas_e2e import run_gate
+
+        try:
+            g = run_gate(steps=3, nst=20000, pairs=True)
+            e2e = {"passed": g["passed"], "rel": g["rel"]}
+        except RuntimeError as e:
+            e2e = {"passed": False, "error": str(e)}
+
     BASELINE_VALUE = 1.0e5  # round-1 self-baseline (histories/s/chip)
     rec = {
         "metric": "photon_histories_per_sec_per_chip",
@@ -111,6 +126,8 @@ def main():
     }
     if mrk_value is not None:
         rec["mrk421_histories_per_s"] = round(mrk_value, 0)
+    if e2e is not None:
+        rec["pallas_e2e"] = e2e
     print(json.dumps(rec))
     print(
         f"# compile={compile_s:.1f}s measure={dt_s:.2f}s "

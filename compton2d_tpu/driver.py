@@ -651,11 +651,16 @@ class Simulation:
         killed = float(t.e_killed) * scale
         scatter_gain = float(t.e_scatter) * scale
         src_lost = float(t.e_src_lost) * scale
+        pair_abs = float(t.e_pair_abs) * scale
         absorbed = deposited - scatter_gain
         e_in = float(o.bingo) * scale
         e_rr = float(t.e_rr) * scale
         # photon-side balance: (input - lost - rouletted) +
         #   gain_from_electrons = census + escaped + absorbed + killed
+        #   + pair_abs (gamma-gamma absorption above 47 keV converts
+        #   photon energy to pairs, excluded from edep heat,
+        #   imctrk2d.f:429-434; it re-enters via dn_pp, audited on the
+        #   electron side)
         # (bingo counts the pre-roulette census energy; e_rr is the
         # realized roulette delta, zero in expectation)
         avail = e_in - src_lost + scatter_gain - e_rr
@@ -667,10 +672,12 @@ class Simulation:
             "scatter_gain": scatter_gain,
             "killed": killed,
             "src_lost": src_lost,
+            "pair_abs": pair_abs,
             "rr": e_rr,
             "n_rr": int(t.n_rr),
             "events_dropped": self._check_event_overflow(o),
-            "balance": (census + escaped + absorbed + killed) / avail
+            "balance": (census + escaped + absorbed + killed + pair_abs)
+            / avail
             if avail > 0
             else float("nan"),
         }

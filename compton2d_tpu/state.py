@@ -122,6 +122,12 @@ class Tallies(NamedTuple):
     ed_ref: jnp.ndarray    # (nr,) energy Compton-reflected at lower bnd
     e_killed: jnp.ndarray  # () energy lost to weight-floor kills
     e_scatter: jnp.ndarray  # () net photon energy gained from electrons
+    e_pair_abs: jnp.ndarray  # () gamma-gamma-absorbed energy above
+                           # 47 keV that becomes pairs, not heat
+                           # (imctrk2d.f:429-434 excludes it from edep;
+                           # it re-enters the electrons via dn_pp) —
+                           # tallied so the photon-side audit closes
+                           # once k_gg builds up
     e_src_lost: jnp.ndarray  # () source energy lost to slot overflow
     e_rr: jnp.ndarray      # () realized census-roulette energy delta
     n_rr: jnp.ndarray      # () int32 census photons rouletted away
@@ -147,6 +153,7 @@ class Tallies(NamedTuple):
             ed_in=f((nr,)), ed_ref=f((nr,)),
             e_killed=f(()),
             e_scatter=f(()),
+            e_pair_abs=f(()),
             e_src_lost=f(()),
             e_rr=f(()),
             n_rr=jnp.zeros((), jnp.int32),

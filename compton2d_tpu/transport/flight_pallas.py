@@ -110,7 +110,8 @@ def _flight_kernel(
     # VMEM outputs
     w_o, r_o, z_o, cphi_o, sphi_o, dcen_o, jz_o, kr_o, alive_o,
     flag_o, jn_o, kn_o,
-    tally_o,                  # (3, nzr_pad, LANE): edep, prdep, ekill
+    tally_o,                  # (4, nzr_pad, LANE): edep, prdep, ekill,
+                              # pair_abs (rows 1+ of ch 2/3 unused)
     *,
     nz: int, nr: int, pair_switch: bool, weight_floor: float,
     max_iters: int, nzr_pad: int, interpret: bool = False,
@@ -123,7 +124,7 @@ def _flight_kernel(
 
     def body(carry):
         (it, w, r, z, cphi, sphi, dcen, jz, kr, alive, flag,
-         jn, kn, ed_scr, pr_scr, ekill) = carry
+         jn, kn, ed_scr, pr_scr, ekill, pairabs) = carry
         e = e_ref[0]
         mu = mu_ref[0]
         w0 = w0_ref[0]
@@ -208,6 +209,11 @@ def _flight_kernel(
         deleabs = jnp.maximum(w - ewnew, 0.0)
         if pair_switch:
             frac_heat = jnp.where(e > 47.0, kap / sigabs, 1.0)
+            # gamma-gamma-absorbed energy above 47 keV becomes pairs,
+            # not heat: tally so the photon-side audit closes
+            pairabs = pairabs + jnp.where(
+                act, deleabs * (1.0 - frac_heat), 0.0
+            )
         else:
             frac_heat = jnp.ones((SUB, LANE), f32)
         edep_add = jnp.where(act, deleabs * frac_heat, 0.0)
@@ -290,7 +296,7 @@ def _flight_kernel(
         flag = jnp.where(want_sct, FLAG_SCATTER, flag)
 
         return (it + 1, w, r, z, cphi, sphi, dcen, jz, kr, alive,
-                flag, jn, kn, ed_scr, pr_scr, ekill)
+                flag, jn, kn, ed_scr, pr_scr, ekill, pairabs)
 
     def cond(carry):
         it, w, r, z, cphi, sphi, dcen, jz, kr, alive, flag = carry[:11]
@@ -305,9 +311,12 @@ def _flight_kernel(
         jnp.zeros((nzr_pad, LANE), jnp.float32),
         jnp.zeros((nzr_pad, LANE), jnp.float32),
         jnp.zeros((SUB, LANE), jnp.float32),
+        jnp.zeros((SUB, LANE), jnp.float32),
     )
     (_, w, r, z, cphi, sphi, dcen, jz, kr, alive, flag, jn, kn,
-     ed_scr, pr_scr, ekill) = jax.lax.while_loop(cond, body, init)
+     ed_scr, pr_scr, ekill, pairabs) = jax.lax.while_loop(
+         cond, body, init
+     )
 
     w_o[0] = w
     r_o[0] = r
@@ -323,13 +332,18 @@ def _flight_kernel(
     kn_o[0] = kn
     tally_o[0, 0] = ed_scr
     tally_o[0, 1] = pr_scr
-    tally_o[0, 2] = jnp.concatenate(
-        [
-            jnp.sum(ekill, axis=0, keepdims=True),
-            jnp.zeros((nzr_pad - 1, LANE), jnp.float32),
-        ],
-        axis=0,
-    )
+
+    def _scalar_rows(v):
+        return jnp.concatenate(
+            [
+                jnp.sum(v, axis=0, keepdims=True),
+                jnp.zeros((nzr_pad - 1, LANE), jnp.float32),
+            ],
+            axis=0,
+        )
+
+    tally_o[0, 2] = _scalar_rows(ekill)
+    tally_o[0, 3] = _scalar_rows(pairabs)
 
 
 def _tile(x, n_tiles):
@@ -352,8 +366,8 @@ def flight_rounds(
     max_iters: int, interpret: bool = False,
 ) -> Tuple:
     """One kernel round over all photon tiles. Returns the updated SoA
-    plus per-lane flags and the (nzr, 3) [edep, prdep, ekill-partial]
-    tallies."""
+    plus per-lane flags and the (4, nzr) [edep, prdep, ekill-partial,
+    pair_abs-partial] tallies."""
     n = e.shape[0]
     assert n % TILE == 0, f"n_slots={n} must be a multiple of {TILE}"
     n_tiles = n // TILE
@@ -387,14 +401,14 @@ def flight_rounds(
         (1, z_edges.shape[0]), lambda i, *_: (0, 0), memory_space=pltpu.SMEM
     )
     tspec = pl.BlockSpec(
-        (1, 3, nzr_pad, LANE), lambda i, *_: (i, 0, 0, 0),
+        (1, 4, nzr_pad, LANE), lambda i, *_: (i, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
     out_shape = (
         [jax.ShapeDtypeStruct((n_tiles, SUB, LANE), jnp.float32)] * 6
         + [jax.ShapeDtypeStruct((n_tiles, SUB, LANE), jnp.int32)] * 6
-        + [jax.ShapeDtypeStruct((n_tiles, 3, nzr_pad, LANE), jnp.float32)]
+        + [jax.ShapeDtypeStruct((n_tiles, 4, nzr_pad, LANE), jnp.float32)]
     )
     out_specs = [vspec] * 12 + [tspec]
 
@@ -423,7 +437,7 @@ def flight_rounds(
     (w_n, r_n, z_n, cphi_n, sphi_n, dcen_n, jz_n, kr_n, alive_n,
      flag, jn, kn, tl) = outs
     flat = lambda a: a.reshape(n)
-    # (n_tiles, 3, nzr_pad, LANE) -> (3, nzr): sum tiles + lanes
+    # (n_tiles, 4, nzr_pad, LANE) -> (4, nzr): sum tiles + lanes
     tall = jnp.sum(tl, axis=(0, 3))[:, :nzr]
     return (
         flat(w_n), flat(r_n), flat(z_n), flat(cphi_n), flat(sphi_n),

@@ -324,6 +324,13 @@ def _flight_phase(
         # heat (imctrk2d.f:429-434); sigabs - kgg == kap exactly
         if st.pair_switch:
             frac_heat = jnp.where(ph.e > 47.0, kap / sigabs, 1.0)
+            # the gamma-gamma-absorbed remainder becomes pairs, not
+            # heat: tally it so the photon-side audit closes
+            tl = tl._replace(
+                e_pair_abs=tl.e_pair_abs + jnp.sum(
+                    jnp.where(act, deleabs * (1.0 - frac_heat), 0.0)
+                )
+            )
         else:
             frac_heat = jnp.ones_like(sigabs)
         edep_add = jnp.where(act, deleabs * frac_heat, 0.0)
@@ -500,6 +507,7 @@ def _transport_step_pallas(
             edep=tl.edep + tall[0].reshape(st.nz, st.nr),
             prdep=tl.prdep + tall[1].reshape(st.nz, st.nr),
             e_killed=tl.e_killed + jnp.sum(tall[2]),
+            e_pair_abs=tl.e_pair_abs + jnp.sum(tall[3]),
         )
 
         # --- kernel-frozen leaks (boundary physics + event records) --

@@ -1,6 +1,8 @@
-"""Pallas flight-megakernel unit tests (interpret mode on the CPU mesh;
-the compiled path is exercised on the real chip by bench.py and the
-pallas-vs-XLA comparison in pallas_e2e / test_driver TPU runs)."""
+"""Pallas flight-megakernel unit tests (interpret mode on the CPU
+mesh). The compiled-Mosaic path is gated separately on the real chip by
+``tools/pallas_e2e.py`` — the pallas-on vs pallas-off end-to-end
+physics comparison whose result bench.py embeds in every BENCH JSON
+snapshot (``pallas_e2e``)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
