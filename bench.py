@@ -78,12 +78,21 @@ def main():
     dt_s, histories, rounds = _measure(sim, steps)
     value = histories / dt_s
 
-    # model-based anchor: per-round HBM traffic of the pallas tracking
-    # path (see tools/roofline.py for the byte model) vs the v5e peak.
+    # model-based anchor: per-round HBM traffic of the v2 pallas
+    # tracking path (see tools/roofline.py for the byte model) vs the
+    # v5e peak. v2 keeps flight+scatter in VMEM for the whole step, so
+    # a round's traffic is one SoA in/out pass + the scatter-event
+    # logs + one table load — the per-photon opacity-row precompute of
+    # v1 is gone.
     n = sim.cfg.run.n_slots
-    nch = 3 if sim.cfg.physics.pair_switch else 2
-    C = sim.cfg.grid.nz * sim.cfg.grid.nr * nch
-    per_round = 2 * 12 * n * 4 + 6 * n * C * 4
+    g = sim.cfg.grid
+    nzr = g.nz * g.nr
+    # SoA in (12) + out (20) + logs (2*K_LOG) arrays of n f32
+    per_round = (12 + 20 + 16) * n * 4
+    # kernel tables: opacity rows + electron CDF + guide, 512 B/row
+    per_round += nzr * ((2 * 4 + 1) + 2 + 4) * 512
+    # XLA leak pass touches the SoA once more
+    per_round += 2 * 12 * n * 4
     model_s_bound = rounds * per_round / (PEAK_HBM_GBS * 1e9)
     # tracking share of the measured time is not re-ablated here (the
     # roofline tool does that); report the whole-step bound fraction

@@ -989,17 +989,22 @@ def _step_impl(
         strat_icut = min(max(strat_icut, 1), g.num_nt - 1)
     else:
         strat_icut = 0
-    from compton2d_tpu.transport import flight_pallas as _fpk
+    from compton2d_tpu.transport import flight_pallas2 as _fpk
 
     n_local_slots = run.n_slots // max(n_devices, 1)
     pallas_ok = (
         nz * nr <= _fpk.MAX_ZONES
+        and nz <= _fpk.MAX_EDGE
+        and nr <= _fpk.MAX_EDGE
         and n_local_slots % _fpk.TILE == 0
         and jax.default_backend() == "tpu"
     )
     use_pallas = run.pallas_tracking == "on" or (
         run.pallas_tracking == "auto" and pallas_ok
     )
+    # forcing the kernel off-TPU means interpret mode (CPU testing of
+    # the full driver pallas path; Mosaic only compiles for TPU)
+    pallas_interp = use_pallas and jax.default_backend() != "tpu"
     st = TrackStatics(
         nz=nz, nr=nr,
         cr_sent=phys.cr_sent,
@@ -1013,6 +1018,7 @@ def _step_impl(
         strat_icut=strat_icut,
         strat_p_max=cfg.source.strat_p_max,
         use_pallas=use_pallas,
+        pallas_interpret=pallas_interp,
     )
 
     tallies = Tallies.zeros(

@@ -238,18 +238,25 @@ def build_kernel_tables(
     def padlane(x, to):
         return jnp.pad(x, [(0, 0), (0, to * LANE - x.shape[1])])
 
+    def padrows(t):
+        # the chunk sweep reads 8-row slices: pad the row count
+        r = t.shape[0]
+        return jnp.pad(t, [(0, _cdiv(r, 8) * 8 - r), (0, 0)])
+
     sig = padlane(opac_zone[:, :, 0], cg_ph).reshape(nzr, cg_ph, LANE)
     kap = padlane(opac_zone[:, :, 1], cg_ph).reshape(nzr, cg_ph, LANE)
     kgg = padlane(kgg_zone, cg_gg).reshape(nzr, cg_gg, LANE)
-    opac_t = jnp.concatenate([sig, kap, kgg], axis=1).reshape(
-        nzr * rpz, LANE
-    ).astype(jnp.float32)
+    opac_t = padrows(
+        jnp.concatenate([sig, kap, kgg], axis=1).reshape(
+            nzr * rpz, LANE
+        ).astype(jnp.float32)
+    )
 
     # CDF pad value 2.0: padded bins never count as (cdf < u)
-    cdf_t = jnp.pad(
+    cdf_t = padrows(jnp.pad(
         cdf_nt.astype(jnp.float32),
         [(0, 0), (0, cg_nt * LANE - num_nt)], constant_values=2.0,
-    ).reshape(nzr * cg_nt, LANE)
+    ).reshape(nzr * cg_nt, LANE))
 
     # guide: lo_j = #(cdf[z] < u_edge(j)); hi_j = lo_{j+1} is looked
     # up at cell j+1 (clamped to num_nt at the top cell)
@@ -257,7 +264,7 @@ def build_kernel_tables(
     guide = jax.vmap(
         lambda c: jnp.searchsorted(c, u_edges, side="left")
     )(cdf_nt.astype(jnp.float32)).astype(jnp.int32)
-    guide_t = guide.reshape(nzr * cg_gd, LANE)
+    guide_t = padrows(guide.reshape(nzr * cg_gd, LANE))
 
     gm1_mid = jnp.sqrt(gnt[1:] * gnt[:-1]).astype(jnp.float32)
     gm1_t = jnp.pad(
@@ -611,11 +618,14 @@ def _flight_kernel_v2(
             )
             znu = e / f32(cn.EMASS_KEV)
             zn = (1.0 - beta_new * om) * znu * gma_new
-            # KN total-sigma ratio (compb_2d.f:77-87)
+            # KN total-sigma ratio (compb_2d.f:77-87); series to
+            # z = 0.15 — the closed form cancels to O(z^3) and
+            # amplifies the (approximate) hardware log error by
+            # ~1/z^2 (see scatter._kn_ratio_f32)
             zs_ = jnp.maximum(zn, 1e-6)
-            ser = 1.0 - zn * (
-                2.0 - zn * (5.2 - zn * (13.3 - 1.144e3 * zn / 3.5e1))
-            )
+            ser = 1.0 - zn * (2.0 - zn * (5.2 - zn * (13.3 - zn * (
+                32.685714 - zn * (77.714286 - zn * 124.825397)
+            ))))
             z3 = zs_ * zs_ * zs_
             betz_ = 1.0 + 2.0 * zs_
             gamz = zs_ * (zs_ - 2.0) - 2.0
@@ -623,7 +633,7 @@ def _flight_kernel_v2(
                 4.0 * zs_ + 2.0 * z3 * (1.0 + zs_) / (betz_ * betz_)
                 + gamz * jnp.log(betz_)
             ) / z3
-            xknot = jnp.where(zn <= 1e-2, ser, full)
+            xknot = jnp.where(zn <= 0.15, ser, full)
             u_acc = rnd(it, 5)
             ok = (zn >= 1e-10) & (u_acc <= xknot)
             tries = jnp.where(resolved, tries + 1, tries)
@@ -855,24 +865,24 @@ def flight_step_v2(
     i_in = [tile(a, jnp.int32) for a in (jz, kr, alive)]
 
     vspec = pl.BlockSpec(
-        (1, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, SUB, LANE), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
     def shared(shape):
         nd = len(shape)
         return pl.BlockSpec(
-            shape, (lambda i: (0,) * nd), memory_space=pltpu.VMEM
+            shape, (lambda i, *_: (0,) * nd), memory_space=pltpu.VMEM
         )
 
     smem = pl.BlockSpec(
-        (1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM
+        (1, 8), lambda i, *_: (0, 0), memory_space=pltpu.SMEM
     )
     logspec = pl.BlockSpec(
-        (1, K_LOG, SUB, LANE), lambda i: (i, 0, 0, 0),
+        (1, K_LOG, SUB, LANE), lambda i, *_: (i, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     tallyspec = pl.BlockSpec(
-        (2, nzr8, LANE), lambda i: (0, 0, 0),
+        (2, nzr8, LANE), lambda i, *_: (0, 0, 0),
         memory_space=pltpu.VMEM,
     )
 

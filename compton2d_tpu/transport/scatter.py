@@ -119,10 +119,24 @@ def _draw_from_cdf(u, cdf_rows, gnt):
 
 
 def _kn_ratio_f32(znue):
-    """compb_2d.f:77-87 in f32."""
+    """sigma_KN(z)/sigma_T (compb_2d.f:77-87) in f32.
+
+    The closed form's numerator ``4z + gamz*log(1+2z) + O(z^3)``
+    cancels to O(z^3), amplifying the platform log error by ~1/z^2 —
+    on TPU (log accurate to ~1e-6 relative) that is O(10%+) errors in
+    the KN *acceptance probability* for z in [0.01, 0.1], the core
+    Comptonization regime, silently biasing the electron selection.
+    The reference's f64 build tolerates its z<=1e-2 cutoff; this f32
+    port uses the 7-term series to z = 0.15 (truncation ~1.4e-4 at the
+    cutoff, and the closed form's log sensitivity has fallen below
+    1e-4 by then)."""
     z = znue
-    small = z <= 1e-2
-    ser = 1.0 - z * (2.0 - z * (5.2 - z * (13.3 - 1.144e3 * z / 3.5e1)))
+    small = z <= 0.15
+    # sigma/sigma_T = 1 - 2z + 26/5 z^2 - 133/10 z^3 + 1144/35 z^4
+    #   - 544/7 z^5 + 7864/63 z^6 - ...
+    ser = 1.0 - z * (2.0 - z * (5.2 - z * (13.3 - z * (
+        32.685714 - z * (77.714286 - z * 124.825397)
+    ))))
     zs = jnp.maximum(z, 1e-6)
     z3 = zs * zs * zs
     betz = 1.0 + 2.0 * zs

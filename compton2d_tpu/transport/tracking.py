@@ -75,9 +75,11 @@ class TrackStatics:
     phase0_iters: int = 16
     phase_divisors: Tuple[int, ...] = (4, 16)
     phase_iters: Tuple[int, ...] = (48, 10_000)
-    # Pallas flight megakernel (plan M4, transport.flight_pallas): the
-    # free-flight loop runs on-chip in VMEM tiles; scatter/leak events
-    # are handled between kernel rounds by the XLA code above
+    # Pallas flight megakernel (plan M4, transport.flight_pallas2):
+    # flight + inlined Compton scatter run on-chip in VMEM tiles; only
+    # boundary (leak) events freeze lanes back to the XLA code above.
+    # Under strat_split the scatter stays in XLA (inline_scatter off)
+    # because the stratified copy-placement needs free-slot logic.
     use_pallas: bool = False
     pallas_interpret: bool = False   # CPU debugging of the kernel
 
@@ -457,17 +459,38 @@ def _transport_step_pallas(
     ctx: TrackContext,
     st: TrackStatics,
 ) -> Tuple[PhotonArray, Tallies, EventBuffer]:
-    """Plan-M4 tracking: the free-flight loop runs in the Pallas
-    megakernel (transport.flight_pallas); each outer round handles the
-    kernel-frozen events (Compton scatters via :func:`apply_scatter`,
-    boundary leaks via :func:`_leak`) and re-enters the kernel. Rounds
-    are bounded by the per-photon scatter/reflection count, so the
-    per-iteration SoA traffic all stays in VMEM."""
-    from compton2d_tpu.transport import flight_pallas as fpk
+    """v2 Pallas tracking (transport.flight_pallas2): flight AND the
+    Compton scatter sampler run on-chip; a kernel entry only ends at
+    census, domain exit (leak), or straggler cutoff. Each outer round
+    handles the kernel-frozen leaks (boundary physics + event records,
+    :func:`_leak`) and re-enters — rounds/step is ~1 plus the
+    reflection-chain depth, vs ~5.3 scatter-bounded rounds in v1.
+
+    Under ``st.strat_split`` the scatter is NOT inlined (the
+    stratified tail-splitting needs XLA free-slot placement):
+    collisions freeze with FLAG_SCATTER and :func:`apply_scatter`
+    handles them per round, the v1 flow.
+
+    Iteration budget: the kernel's per-entry bound is st.max_iters and
+    the outer loop stops once the accumulated kernel iterations reach
+    st.max_iters, so total flight iterations are hard-bounded by
+    2*max_iters (one final entry may start with budget nearly spent) —
+    not max_iters^2 (advisor r3 finding #5). Lanes cut off mid-scatter
+    go to census unscattered, exactly like v1's frozen-scatter lanes
+    at round exhaustion."""
+    from compton2d_tpu.transport import flight_pallas2 as fp2
 
     n = photons.n_slots
     nzr = st.nz * st.nr
-    n_tiles = n // fpk.TILE
+    num_nt = ctx.cdf_nt.shape[1]
+    n_tiles = n // fp2.TILE
+    inline = not st.strat_split
+
+    ktab, dims = fp2.build_kernel_tables(
+        ctx.opac_zone, ctx.kgg_zone, ctx.cdf_nt, ctx.gnt,
+        ctx.r_edges, ctx.z_edges,
+        ctx.e_ph_log0, ctx.e_ph_dlog, ctx.e_gg_log0, ctx.e_gg_dlog,
+    )
 
     def geom_dummy(jn, kn, ph):
         from compton2d_tpu.transport.geometry import FlightGeom
@@ -478,40 +501,53 @@ def _transport_step_pallas(
         )
 
     def body(carry):
-        rnd, ph, tl, ev = carry
+        rnd, it_tot, ph, tl, ev = carry
         kit = jax.random.fold_in(key, rnd)
         k_seed, k_scat, k_refl1, k_refl2 = jax.random.split(kit, 4)
         seeds = jax.lax.bitcast_convert_type(
             jax.random.bits(k_seed, (n_tiles,), jnp.uint32), jnp.int32
         )
-        sk = fpk.precompute_opacity_rows(
-            ph.e, ctx.opac_zone, ctx.kgg_zone,
-            ctx.e_ph_log0, ctx.e_ph_dlog, ctx.e_gg_log0, ctx.e_gg_dlog,
-            bool(st.pair_switch),
-        )
-        (w, r, z, cphi, sphi, dcen, jz, kr, alive, flag, jn, kn,
-         tall) = fpk.flight_rounds(
+        (e, w, r, z, mu, cphi, sphi, dcen, jz, kr, alive, mode_n,
+         flag, jn, kn, it_used, ekill, esct, epair, sct_cnt, tall,
+         iglog, delog) = fp2.flight_step_v2(
             ph.e, ph.w, ph.w0, ph.r, ph.z, ph.mu, ph.cphi, ph.sphi,
-            ph.dcen, ph.jz, ph.kr, ph.alive, sk,
-            ctx.r_edges, ctx.z_edges, seeds,
-            nz=st.nz, nr=st.nr, pair_switch=bool(st.pair_switch),
+            ph.dcen, ph.jz, ph.kr, ph.alive, ktab, seeds,
+            dims=dims, nz=st.nz, nr=st.nr,
+            pair_switch=bool(st.pair_switch),
+            inline_scatter=inline,
             weight_floor=float(st.weight_floor),
             max_iters=int(st.max_iters),
+            max_tries=int(st.max_scatter_tries),
             interpret=bool(st.pallas_interpret),
         )
         ph = ph._replace(
-            w=w, r=r, z=z, cphi=cphi, sphi=sphi, dcen=dcen,
-            jz=jz, kr=kr, alive=alive,
+            e=e, w=w, r=r, z=z, mu=mu, cphi=cphi, sphi=sphi,
+            dcen=dcen, jz=jz, kr=kr, alive=alive,
         )
         tl = tl._replace(
             edep=tl.edep + tall[0].reshape(st.nz, st.nr),
             prdep=tl.prdep + tall[1].reshape(st.nz, st.nr),
-            e_killed=tl.e_killed + jnp.sum(tall[2]),
-            e_pair_abs=tl.e_pair_abs + jnp.sum(tall[3]),
+            e_killed=tl.e_killed + ekill,
+            e_scatter=tl.e_scatter + esct,
+            e_pair_abs=tl.e_pair_abs + epair,
         )
+        if inline:
+            # e_ic / n_esp attribution from the per-lane event logs
+            # (one one-hot matmul per round; events beyond K_LOG kept
+            # their energy in edep/esct, only this histogram drops
+            # them)
+            logged = iglog.reshape(-1) >= 0
+            ig_flat = jnp.where(logged, iglog.reshape(-1), 0)
+            de_flat = jnp.where(logged, delog.reshape(-1), 0.0)
+            tl = tl._replace(
+                e_ic=tl.e_ic + zone_accum(de_flat, ig_flat, num_nt),
+                n_esp=tl.n_esp + zone_accum(
+                    logged.astype(jnp.float32), ig_flat, num_nt
+                ),
+            )
 
         # --- kernel-frozen leaks (boundary physics + event records) --
-        leak_mask = (flag == fpk.FLAG_LEAK) & ph.alive
+        leak_mask = (flag == fp2.FLAG_LEAK) & ph.alive
         g = geom_dummy(jn, kn, ph)
         ph, tl, ev = jax.lax.cond(
             jnp.any(leak_mask),
@@ -522,41 +558,46 @@ def _transport_step_pallas(
             ph, tl, ev,
         )
 
-        # --- kernel-frozen Compton scatters --------------------------
-        sct = (flag == fpk.FLAG_SCATTER) & ph.alive
-        zid = (
-            jnp.clip(ph.jz, 0, st.nz - 1) * st.nr
-            + jnp.clip(ph.kr, 0, st.nr - 1)
-        )
-        # current-zone sigma from the precomputed rows (no gather):
-        # sk channel layout is zone-major [sigma, kappa(, kgg)]
-        nch = 3 if st.pair_switch else 2
-        oh = (
-            zid[:, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (1, st.nz * st.nr), 1)
-        ).astype(jnp.float32)
-        sig_s = jnp.maximum(
-            jnp.sum(oh * sk[:, 0::nch], axis=1), 1e-30
-        )
-        ph, tl = jax.lax.cond(
-            jnp.any(sct),
-            lambda ph, tl: apply_scatter(
-                ph, tl, sct, zid, sig_s, k_scat, ctx, st
-            ),
-            lambda ph, tl: (ph, tl),
-            ph, tl,
-        )
-        return rnd + 1, ph, tl, ev
+        if not inline:
+            # strat-split mode: scatters freeze to XLA (v1 flow)
+            sct = (flag == fp2.FLAG_SCATTER) & ph.alive
+            zid = (
+                jnp.clip(ph.jz, 0, st.nz - 1) * st.nr
+                + jnp.clip(ph.kr, 0, st.nr - 1)
+            )
+            sig_s = jnp.maximum(
+                _loggrid_interp(
+                    ctx.opac_zone, zid, ph.e, ctx.e_ph_log0,
+                    ctx.e_ph_dlog,
+                )[:, 0],
+                1e-30,
+            )
+            ph, tl = jax.lax.cond(
+                jnp.any(sct),
+                lambda ph, tl: apply_scatter(
+                    ph, tl, sct, zid, sig_s, k_scat, ctx, st
+                ),
+                lambda ph, tl: (ph, tl),
+                ph, tl,
+            )
+        return rnd + 1, it_tot + it_used, ph, tl, ev
 
     def cond(carry):
-        rnd, ph, _, _ = carry
-        return (rnd < st.max_iters) & jnp.any(ph.alive & (ph.dcen > 0.0))
+        rnd, it_tot, ph, _, _ = carry
+        return (
+            (rnd < st.max_iters)
+            & (it_tot < st.max_iters)
+            & jnp.any(ph.alive & (ph.dcen > 0.0))
+        )
 
-    rnd_fin, photons, tallies, events = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), photons, tallies, events)
+    rnd_fin, _, photons, tallies, events = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.int32(0), photons, tallies, events),
     )
     tallies = tallies._replace(trk_rounds=tallies.trk_rounds + rnd_fin)
-    # stragglers past the round budget go to census as-is
+    # stragglers past the budget go to census as-is (a lane cut off
+    # mid-scatter censuses unscattered, matching v1's frozen-scatter
+    # semantics at exhaustion)
     photons = photons._replace(
         dcen=jnp.where(photons.alive, 0.0, photons.dcen)
     )

@@ -121,3 +121,33 @@ def test_weight_scale_conserves_photon_number():
     assert np.allclose(
         np.asarray(res.wscale), np.asarray(res.e) / 10.0, rtol=1e-5
     )
+
+
+def test_kn_ratio_f32_matches_f64_closed_form():
+    """Regression for the TPU sampler bias (round 4): the closed-form
+    KN total-sigma ratio cancels to O(z^3) near small z and amplifies
+    the platform log error by ~1/z^2 — the f32 sampler must therefore
+    use the series well past the cancellation region. Pin _kn_ratio_f32
+    against the f64 closed form over the full Comptonization range."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from compton2d_tpu.transport.scatter import _kn_ratio_f32
+
+    z = np.geomspace(1e-5, 50.0, 400)
+    z3 = z**3
+    betz = 1 + 2 * z
+    gamz = z * (z - 2) - 2
+    small = z < 1e-3
+    zs = np.where(small, 1e-3, z)
+    full = 0.375 * (
+        4 * zs + 2 * zs**3 * (1 + zs) / (1 + 2 * zs) ** 2
+        + (zs * (zs - 2) - 2) * np.log(1 + 2 * zs)
+    ) / zs**3
+    series64 = 1 - z * (2 - z * (26 / 5 - z * (133 / 10 - z * (
+        1144 / 35 - z * (544 / 7 - z * 7864 / 63)))))
+    ref = np.where(small, series64, full)
+    got = np.asarray(_kn_ratio_f32(jnp.asarray(z, jnp.float32)))
+    assert np.max(np.abs(got / ref - 1)) < 5e-4, np.max(
+        np.abs(got / ref - 1)
+    )
