@@ -59,6 +59,17 @@ def main():
             n_vol=128, nphfield=128, t_const=True,
         )
         steps = 3
+    elif size == "large":
+        # large-grid config (VERDICT r3 #4): 32x32 = 1024 zones —
+        # 8x the reference's 99x99=9801-zone ceiling is not met, but
+        # well past the v1 kernel's 128-zone cap; the v2 kernel must
+        # be active here (zone-spread-bounded table sweeps)
+        sim = small_corona(
+            nz=32, nr=32, nst=60000, n_slots=1 << 17, num_nt=200,
+            n_vol=400, nphfield=128,
+            t_const=bool(int(os.environ.get("BENCH_TCONST", 0))),
+        )
+        steps = int(os.environ.get("BENCH_STEPS", 3))
     else:
         # reference-scale tables: 200 gamma bins, 400-bin emissivity and
         # field grids (general.pa)
@@ -120,7 +131,7 @@ def main():
 
         try:
             g = run_gate(steps=3, nst=20000, pairs=True)
-            e2e = {"passed": g["passed"], "rel": g["rel"]}
+            e2e = {"passed": g["passed"], "rel_dev": g["rel_dev"]}
         except RuntimeError as e:
             e2e = {"passed": False, "error": str(e)}
 

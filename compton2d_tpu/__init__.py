@@ -22,9 +22,10 @@ master-worker MPI task farm):
   COMMON block;
 - photon tracking is a vectorized lock-step flight loop over photon slots
   with counter-based threefry RNG — one stream per (step, iteration); on
-  TPU the free-flight loop runs as a Pallas megakernel over VMEM-resident
-  photon tiles (``transport.flight_pallas``), with Compton scatters and
-  boundary physics handled between kernel rounds;
+  TPU the whole step (free flight AND the inlined Compton scatter
+  sampler) runs as a Pallas megakernel over VMEM-resident photon tiles
+  (``transport.flight_pallas2``), with only boundary physics handled
+  between kernel rounds;
 - the per-zone total Compton cross section is built each step as a single
   MXU matmul  sigma_E(E_grid, gamma_grid) @ f_nt(gamma_grid, zones)  instead
   of the reference's per-photon 200-term integral

@@ -298,6 +298,10 @@ class Simulation:
         self.cfg = cfg
         if zone_init is None:
             zone_init = ZoneInit.uniform(cfg.grid)
+        # kept so with_config() can rebuild without silently dropping
+        # the caller's zone initialization (a `Simulation(replace(cfg))`
+        # rebuild otherwise reverts to default zones — e.g. B = 1 G)
+        self.zone_init = zone_init
         e_scale = cfg.run.energy_scale or _estimate_energy_scale(
             cfg, zone_init
         )
@@ -440,6 +444,13 @@ class Simulation:
                         off=tuple(rep(s) for s in ws.off),
                     )
         self.last_outputs: Optional[StepOutputs] = None
+
+    def with_config(self, cfg: SimConfig, mesh=None) -> "Simulation":
+        """Fresh Simulation with a modified config but THIS sim's zone
+        initialization — the safe way to toggle run/physics flags on an
+        example setup (``Simulation(replace(cfg, ...))`` silently
+        reverts to default uniform zones)."""
+        return Simulation(cfg, self.zone_init, mesh=mesh)
 
     def attach_outputs(self, out_dir: str, event_file: str = "evb.dat"):
         """Enable run-level output accumulation + event-file spooling

@@ -28,6 +28,10 @@ def small_corona(
     nphfield: int = 128,
     mesh=None,
     max_flight_iters: int = 256,
+    amxwl: float = 1.0,
+    gmin: float = 1.0e3,
+    gmax: float = 1.0e5,
+    p_nth: float = 2.5,
     **phys_kw,
 ) -> Simulation:
     """A small 2-D accreting-corona setup: hot thermal electron cloud
@@ -57,8 +61,8 @@ def small_corona(
         windows=(win,),
     )
     zi = ZoneInit.uniform(
-        grid, tea=tea, tna=tea, n_e=n_e, B_field=10.0, amxwl=1.0,
-        gmin=1e3, gmax=1e5, p_nth=2.5,
+        grid, tea=tea, tna=tea, n_e=n_e, B_field=10.0, amxwl=amxwl,
+        gmin=gmin, gmax=gmax, p_nth=p_nth,
     )
     return Simulation(cfg, zi, mesh=mesh)
 

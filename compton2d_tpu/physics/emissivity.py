@@ -298,8 +298,21 @@ def volume_em(
         w_th = jnp.where(~thin, j_th, 0.0) * bin_w
         p_tot = jnp.cumsum(w_tot)
         p_th = jnp.cumsum(w_th)
-        eps_tot = p_tot / jnp.maximum(p_tot[-1], 1e-30)
-        eps_th = p_th / jnp.maximum(p_th[-1], 1e-30)
+        # degenerate-spectrum guard: when the zone's emission falls
+        # entirely below the e_ph grid (e.g. a weak B field puts the
+        # synchrotron peak under e_ph[0]), p[-1] underflows to 0 and
+        # the normalized CDF would be 0 in every bin — the inverse-CDF
+        # sampler then lands every photon in the TOP bin (counting
+        # 0 < u across all bins), emitting the budgeted energy at
+        # ~1e10 keV. Collapse such CDFs to a step at bin 0 instead:
+        # the photons carry their (tiny but real) energy weight at the
+        # grid floor, the nearest representable energy.
+        eps_tot = jnp.where(
+            p_tot[-1] > 0.0, p_tot / jnp.maximum(p_tot[-1], 1e-37), 1.0
+        )
+        eps_th = jnp.where(
+            p_th[-1] > 0.0, p_th / jnp.maximum(p_th[-1], 1e-37), 1.0
+        )
 
         # energy budget (imcgen2d.f:276-335), scaled energies
         sum_g2m1 = jnp.sum((gamma**2 - 1.0) * f * wdg)

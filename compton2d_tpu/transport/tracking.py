@@ -486,6 +486,15 @@ def _transport_step_pallas(
     n_tiles = n // fp2.TILE
     inline = not st.strat_split
 
+    # NOTE on zone-sorting: the kernel's table sweeps cost O(tile zone
+    # spread), so zone-sorting the slots before the kernel makes the
+    # per-leg lookups ~O(1). Measured on v5e, however, a 131k-slot
+    # argsort + permute/unpermute costs ~32 ms/step — more than the
+    # sweep time it saves at reference-scale grids (TPU sorts are
+    # bitonic and slow) — so tiles run zone-mixed and the sweeps span
+    # [min(zid), max(zid)] of each tile. A cheap clustering (emission
+    # already fills free slots in zone order) is the open lever for
+    # very large grids.
     ktab, dims = fp2.build_kernel_tables(
         ctx.opac_zone, ctx.kgg_zone, ctx.cdf_nt, ctx.gnt,
         ctx.r_edges, ctx.z_edges,

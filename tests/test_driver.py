@@ -143,15 +143,14 @@ def test_zone_shard_matches_replicated(with_injection):
             n_vol=48, nphfield=48, t_const=False, seed=11, mesh=mesh,
             pair_switch=True, **phys_kw,
         )
-        # rebuild with the flag toggled (frozen dataclass)
+        # rebuild with the flag toggled (frozen dataclass);
+        # with_config keeps the example's zone init
         cfg = dataclasses.replace(
             sim.cfg, run=dataclasses.replace(
                 sim.cfg.run, zone_shard=zone_shard
             )
         )
-        from compton2d_tpu.driver import Simulation
-
-        return Simulation(cfg, mesh=mesh)
+        return sim.with_config(cfg, mesh=mesh)
 
     s_rep = build(False)
     s_shard = build(True)
@@ -182,3 +181,28 @@ def test_zone_shard_matches_replicated(with_injection):
     a_rep = s_rep.energy_audit()
     a_shard = s_shard.energy_audit()
     assert np.isclose(a_rep["balance"], a_shard["balance"], rtol=1e-6)
+
+
+def test_degenerate_emission_spectrum_no_topbin_photons():
+    """Regression (round 4): with a weak B field the zone synchrotron
+    spectrum falls entirely below the e_ph grid, the emission CDF
+    cumsum underflows to zero, and the inverse-CDF sampler used to put
+    EVERY volume photon in the TOP energy bin (~7e9 keV garbage that
+    later wrecks pair physics and scatter statistics). The degenerate
+    CDF must collapse to a step at bin 0 instead."""
+    from compton2d_tpu.config import ZoneInit
+    from compton2d_tpu.driver import Simulation
+
+    sim = small_corona(
+        nz=3, nr=2, nst=4000, n_slots=8192, num_nt=60, n_vol=64,
+        nphfield=64, t_const=True, seed=3,
+    )
+    # default-uniform zones: B = 1 G puts the sync peak ~1e-17 keV,
+    # far below the e_ph grid floor
+    sim = Simulation(sim.cfg)
+    sim.step()
+    e = np.asarray(sim.state.photons.e)
+    al = np.asarray(sim.state.photons.alive)
+    assert ((e > 1.0e4) & al).sum() == 0, (
+        "degenerate emission CDF produced top-bin photons"
+    )

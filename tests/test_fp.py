@@ -158,27 +158,43 @@ def test_pcr_matches_thomas():
 def test_fp_include_bremsstrahlung_cools():
     """The optional dg_br drift (update2d.f:864-878: dg_br =
     -f_br*gamma^1.1, f_br normalized to the tallied Eloss_br) must cool
-    the electrons relative to the flag-off run on an identical config,
-    and be a no-op when Eloss_br is zero."""
+    the electrons relative to the flag-off solve on identical inputs.
+    Tested directly on fp_step (a full driver run at high density
+    saturates fp_max_substeps, where the per-substep change is
+    ~df_implicit*Te regardless of the operator magnitude and the flag
+    difference cancels to first order)."""
     import dataclasses
 
-    from compton2d_tpu.examples import small_corona
+    import jax.numpy as jnp
 
-    def run(flag):
+    from compton2d_tpu.examples import small_corona
+    from compton2d_tpu.fp.update import fp_step
+    from compton2d_tpu.physics.emissivity import volume_em
+
+    def solve(flag):
         sim = small_corona(
             nz=2, nr=2, nst=300, n_slots=1024, num_nt=40, n_vol=64,
             nphfield=32, t_const=False, seed=5, n_e=1.0e16,
             fp_include_bremsstrahlung=flag,
         )
-        for _ in range(4):
-            sim.step()
-        return np.asarray(sim.state.zones.tea)
+        z = sim.state.zones
+        g = sim.grid
+        l_min = jnp.minimum(g.dz, g.dr) * jnp.ones_like(g.vol)
+        ve = volume_em(
+            sim.tables.e_ph, sim.tables.gnt, z.f_nt, z.tea, z.n_e,
+            z.B_field, z.amxwl, g.vol, g.zone_surf, l_min,
+            sim.state.dt, sim.tables.sync, sim.scales,
+            f_pair=z.f_pair,
+        )
+        nf = jnp.zeros((2, 2, 32), jnp.float32)
+        r = fp_step(
+            z, nf, sim.tables, g.vol, float(sim.cfg.grid.z_max), g.dz,
+            sim.state.dt, sim.state.time, ve.eloss_sy,
+            sim.cfg.physics, sim.scales, eloss_br=ve.eloss_br,
+        )
+        return np.asarray(r.zones.tea)
 
-    te_off = run(False)
-    te_on = run(True)
+    te_off = solve(False)
+    te_on = solve(True)
     assert np.all(np.isfinite(te_on))
-    # brems is a pure loss channel: switching it on must cool the hot
-    # dense zones substantially; the tolerance allows sub-mkeV wiggle
-    # from the operator-dependent substep sizes
-    assert np.all(te_on <= te_off * 1.001 + 1e-3)
-    assert np.any(te_on < te_off - 1.0), (te_on, te_off)
+    assert np.all(te_on < te_off - 5.0), (te_on, te_off)

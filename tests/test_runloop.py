@@ -95,9 +95,7 @@ def test_adaptive_dt_grows_when_quiet():
     cfg = dataclasses.replace(
         sim.cfg, run=dataclasses.replace(sim.cfg.run, adaptive_dt=True)
     )
-    from compton2d_tpu.driver import Simulation
-
-    sim = Simulation(cfg)
+    sim = sim.with_config(cfg)
     dt0 = float(sim.state.dt)
     sim.step()          # ncycle 0: no FP application yet
     sim.step()

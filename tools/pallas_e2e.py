@@ -1,7 +1,7 @@
 """Compiled-Pallas vs XLA end-to-end physics equivalence gate.
 
 Runs the identical configuration with ``run.pallas_tracking="on"``
-(the Pallas flight megakernel, transport/flight_pallas.py) and
+(the Pallas flight megakernel, transport/flight_pallas2.py) and
 ``"off"`` (the XLA while_loop reference path, transport/tracking.py)
 on the real chip, and asserts:
 
@@ -51,17 +51,28 @@ def _build(pallas: str, nst: int, pairs: bool, seed: int):
     from compton2d_tpu.driver import Simulation
     from compton2d_tpu.examples import small_corona
 
+    # electron population: a STRONG but BOUNDED nonthermal tail
+    # (amxwl=0.5, gamma <= 30). With the default rare gamma<=1e5 tail,
+    # a single jackpot scatter multiplies one photon's weight by up to
+    # gamma^2 ~ 1e8 and dominates every energy total — the reference
+    # guards its production runs with split3 (imctrk2d.f:629-661) and
+    # this framework with SourceConfig.strat_split; an equivalence
+    # gate, however, needs central-limit statistics, so the tail here
+    # is frequent-and-moderate instead of rare-and-extreme. Pair
+    # physics stays exercised: gamma=30 upscatters reach ~MeV.
     sim = small_corona(
         nz=4, nr=3, nst=nst, n_slots=1 << 15, num_nt=100,
         n_vol=128, nphfield=128, t_const=False, seed=seed,
-        pair_switch=pairs,
+        pair_switch=pairs, amxwl=0.5, gmin=3.0, gmax=30.0, p_nth=2.5,
     )
     cfg = dataclasses.replace(
         sim.cfg, run=dataclasses.replace(
             sim.cfg.run, pallas_tracking=pallas
         )
     )
-    return Simulation(cfg)
+    # with_config keeps the example's zone init (B, temperatures);
+    # Simulation(cfg) would silently revert to default uniform zones
+    return sim.with_config(cfg)
 
 
 def _run(sim, steps: int) -> dict:

@@ -121,7 +121,7 @@ def main():
         physics=dataclasses.replace(cfg.physics, t_const=True),
         run=dataclasses.replace(cfg.run, max_flight_iters=0),
     )
-    sim0 = Simulation(cfg0)
+    sim0 = sim.with_config(cfg0)
     sim0.state = sim0.state._replace(photons=s.photons)
     res["step_no_flight_no_fp"] = bench_fn(
         lambda st: _step_impl(

@@ -9,14 +9,15 @@ is not the binding resource; the step is bounded by HBM traffic +
 VPU throughput. This tool measures the tracking phase by ablation and
 compares it against an explicit per-round HBM byte model.
 
-Traffic model (Pallas mode, per outer round, n photon slots, C = zone
-channels = nzr*(2 or 3)):
+Traffic model (Pallas v2 mode, per outer round, n photon slots):
+the whole flight+scatter runs in VMEM (flight_pallas2), so a round is
+one SoA pass plus the scatter-event logs and the kernel tables:
 
-  SoA kernel in+out        2 * 12 * n * 4 B
-  opacity row precompute   v0+v1 gathers 2*n*C*4 + sk write n*C*4
-                           + transpose r/w 2*n*C*4 + kernel read n*C*4
-  scatter/leak XLA pass    ~2 * 12 * n * 4 B (masked updates touch the
-                           full SoA once more)
+  SoA kernel in+out        (12 + 20) * n * 4 B
+  scatter-event logs       2 * K_LOG * n * 4 B
+  kernel tables            nzr * (opac 9 + cdf 2 + guide 4) * 512 B
+  leak XLA pass            ~2 * 12 * n * 4 B (masked updates touch
+                           the full SoA once more)
 
 XLA-loop mode (per flight iteration): the while carry (12 arrays) is
 read+written per fused iteration + the 2-channel table gather:
@@ -57,7 +58,7 @@ def build(pallas: str, max_flight_iters: int = 256):
         sim.cfg,
         run=dataclasses.replace(sim.cfg.run, pallas_tracking=pallas),
     )
-    return Simulation(cfg)
+    return sim.with_config(cfg)
 
 
 def timed(sim, steps):
@@ -85,15 +86,15 @@ def analyze(mode: str, steps: int):
 
     n = sim.cfg.run.n_slots
     nzr = sim.cfg.grid.nz * sim.cfg.grid.nr
-    C = nzr * 2   # pair_switch off in bench config
     if mode == "on":
+        # v2 kernel (flight_pallas2): SoA in (12) + out (20) + event
+        # logs (2*K_LOG=16) per round, plus the kernel tables
+        # (opacity rows + electron CDF + guide, 512 B/row) and the
+        # XLA leak pass touching the SoA once more
         per_round = (
-            2 * 12 * n * 4           # kernel SoA in+out
-            + 2 * n * C * 4          # gather v0+v1
-            + n * C * 4              # sk write
-            + 2 * n * C * 4          # transpose r/w
-            + n * C * 4              # kernel sk read
-            + 2 * 12 * n * 4         # scatter/leak XLA pass
+            (12 + 20 + 16) * n * 4
+            + nzr * ((2 * 4 + 1) + 2 + 4) * 512
+            + 2 * 12 * n * 4
         )
     else:
         per_round = 2 * 12 * n * 4 + n * 16

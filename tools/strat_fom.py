@@ -40,9 +40,7 @@ def run(strat: bool, steps: int, nst: int):
             sim.cfg.source, strat_split=strat, strat_gamma_c=1.0e3
         ),
     )
-    from compton2d_tpu.driver import Simulation
-
-    sim = Simulation(cfg)
+    sim = sim.with_config(cfg)
     store = EventArrayStore(sim.scales.E)
     sim.step()      # compile + bootstrap (excluded from timing)
     jax.block_until_ready(sim.state.photons.alive)
