@@ -142,6 +142,7 @@ def mrk421(
     n_vol: int = 400,
     nphfield: int = 400,
     inj_luminosity: float = 4.0e41,
+    n_e: float = 20.0,
     **phys_kw,
 ) -> Simulation:
     """The Mrk 421 SSC flare workload: a jet blob (comoving frame) with
@@ -180,7 +181,7 @@ def mrk421(
         windows=(win,),
     )
     zi = ZoneInit.uniform(
-        grid, tea=5.0, tna=5.0, n_e=20.0, B_field=0.1, amxwl=0.05,
+        grid, tea=5.0, tna=5.0, n_e=n_e, B_field=0.1, amxwl=0.05,
         gmin=5e2, gmax=2e5, p_nth=2.2, q_turb=1.6667,
     )
     return Simulation(cfg, zi)

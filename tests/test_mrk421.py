@@ -2,6 +2,7 @@
 synchrotron + IC photons; Doppler post-processing in the reference's
 mu window yields band light curves."""
 import numpy as np
+import pytest
 
 from compton2d_tpu import examples
 from compton2d_tpu.io import events as ev
@@ -40,3 +41,41 @@ def test_mrk421_small_run():
         0.0, 1e9, np.geomspace(1e-8, 1e10, 60),
     )
     assert sed.flux.sum() > 0
+
+
+def test_mrk421_committed_artifact_sanity():
+    """The committed flagship science artifacts (artifacts/mrk421*,
+    produced by tools/run_mrk421.py on the chip — the de-facto
+    acceptance test the reference ran against data/observations/,
+    SURVEY.md par.4) must have their SED peaks in the right decades:
+
+    - thin canonical blob: observed synchrotron peak in the 0.05-50 keV
+      band (Mrk 421's sync peak is ~0.1-1 keV);
+    - dense SSC-resolved variant: an inverse-Compton branch peaking
+      above 1 GeV observed with positive flux above 10 MeV. (A
+      positive TeV-band flux is NOT asserted: at these parameters the
+      KN-suppressed TeV tail needs ~1e9 histories even with splitting;
+      the round-3 'TeV records' on this workload turned out to be the
+      degenerate-emission-CDF bug's grid-top garbage photons, fixed in
+      round 4 — see artifacts/README.md.)
+    """
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+    with open(os.path.join(root, "mrk421", "summary.json")) as fh:
+        thin = json.load(fh)
+    assert thin["balance"] == pytest.approx(1.0, abs=5e-3)
+    assert 0.05 < thin["sync_peak_keV_obs"] < 50.0
+    assert thin["n_event_records"] > 10_000
+
+    with open(os.path.join(root, "mrk421_dense", "summary.json")) as fh:
+        dense = json.load(fh)
+    assert dense["balance"] == pytest.approx(1.0, abs=5e-3)
+    assert dense["ssc_peak_keV_obs"] is not None
+    assert dense["ssc_peak_keV_obs"] > 1.0e6       # above 1 GeV observed
+    sed = np.loadtxt(os.path.join(root, "mrk421_dense", "sed.dat"))
+    e_mid, nufnu = sed[:, 0], sed[:, 1]
+    assert nufnu[(e_mid > 1.0e4)].sum() > 0.0       # flux above 10 MeV
+    # both branches present: a low-energy peak below 1 MeV too
+    assert nufnu[(e_mid < 1.0e3)].max() > 0.0

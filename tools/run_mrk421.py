@@ -41,26 +41,36 @@ T_BIN_OBS = 700.0          # observed-frame cadence [s] (:13)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nst", type=int, default=20000)
-    ap.add_argument("--n-slots", type=int, default=1 << 16)
+    ap.add_argument("--nst", type=int, default=60000)
+    ap.add_argument("--n-slots", type=int, default=1 << 17)
     ap.add_argument("--out", default="artifacts/mrk421")
     ap.add_argument("--t-stop", type=float, default=7.0e4)
+    # stratified tail splitting ON by default: the blob is optically
+    # thin (tau_T ~ 1e-7), so un-split SSC scatters are ~1-in-1e7
+    # events and the GeV-TeV bands would be empty at any feasible nst —
+    # the reason the reference's production inputs set split2/split3
+    # (imctrk2d.f:726-736) and this framework has strat_split
+    # (BASELINE.md round-3 FOM: TeV x2.53)
+    ap.add_argument("--no-strat", dest="strat", action="store_false",
+                    default=True)
+    ap.add_argument("--n-e", type=float, default=20.0)
     args = ap.parse_args()
+
+    import dataclasses
 
     from compton2d_tpu.examples import MRK421_BANDS, mrk421
     from compton2d_tpu.io import postprocess as pp
 
     os.makedirs(args.out, exist_ok=True)
-    sim = mrk421(nst=args.nst, n_slots=args.n_slots)
-    if args.t_stop != sim.cfg.run.t_stop:
-        import dataclasses
-
-        sim = mrk421(nst=args.nst, n_slots=args.n_slots)
-        sim.cfg = dataclasses.replace(
-            sim.cfg, run=dataclasses.replace(
-                sim.cfg.run, t_stop=args.t_stop
-            )
-        )
+    sim = mrk421(nst=args.nst, n_slots=args.n_slots, n_e=args.n_e)
+    cfg = dataclasses.replace(
+        sim.cfg,
+        run=dataclasses.replace(sim.cfg.run, t_stop=args.t_stop),
+        source=dataclasses.replace(
+            sim.cfg.source, strat_split=args.strat, strat_gamma_c=1.0e3
+        ),
+    )
+    sim = sim.with_config(cfg)
     sim.attach_outputs(args.out, event_file="evb.dat")
 
     t0 = time.time()
