@@ -180,6 +180,19 @@ def compute_budget(
     )
 
 
+
+def _take1(vec, idx):
+    """vec[idx] for per-photon int idx via a one-hot matmul (TPU
+    scalar gathers cost ~10 ns/element; the (n, m) @ (m,) matvec is
+    ~free for the small per-zone/per-category vectors here)."""
+    m = vec.shape[0]
+    oh = (
+        idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    ).astype(jnp.float32)
+    return jnp.dot(
+        oh, vec.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+
 def emit(
     photons: PhotonArray,
     key: jax.Array,
@@ -239,10 +252,10 @@ def emit(
 
     re = grid_r_edges.astype(jnp.float32)
     ze = grid_z_edges.astype(jnp.float32)
-    r_in = re[kr]
-    r_out = re[kr + 1]
-    z_bot = ze[jz]
-    z_top = ze[jz + 1]
+    r_in = _take1(re, kr)
+    r_out = _take1(re, kr + 1)
+    z_bot = _take1(ze, jz)
+    z_top = _take1(ze, jz + 1)
 
     # ---------------- positions -------------------------------------
     # uniform-in-annulus radius (imcvol2d_para.f: r = sqrt(r0^2+psi dr2))
@@ -250,9 +263,10 @@ def emit(
     z_unif = z_bot + u[1] * (z_top - z_bot)
 
     # volume: thermal face split (vol_calc, imcvol2d_para.f:120-160)
-    f_th = (eloss_th / jnp.maximum(eloss_tot, 1e-30)).reshape(-1)[
-        jnp.clip(cat, 0, nzr - 1)
-    ].astype(jnp.float32)
+    f_th = _take1(
+        (eloss_th / jnp.maximum(eloss_tot, 1e-30)).reshape(-1),
+        jnp.clip(cat, 0, nzr - 1),
+    )
     thermal = is_vol & (u[2] < f_th)
     # face selection by area fraction
     dz_z = z_top - z_bot
@@ -330,19 +344,39 @@ def emit(
     phi_new = jnp.where(is_vol, phi_v, phi_b)
 
     # ---------------- energies --------------------------------------
-    # volume: inverse-CDF over eps_tot / eps_th (imcvol2d_para.f:166-301)
-    cdf_v = jnp.where(
-        thermal[:, None],
-        eps_th.reshape(nzr, -1)[jnp.clip(cat, 0, nzr - 1)],
-        eps_tot.reshape(nzr, -1)[jnp.clip(cat, 0, nzr - 1)],
+    # volume: inverse-CDF over eps_tot / eps_th (imcvol2d_para.f:166-301).
+    # Per-photon CDF rows come via a one-hot matmul over the stacked
+    # [eps_tot; eps_th] table — a per-photon ROW GATHER here costs
+    # ~10 ns/element on TPU (n x n_vol elements/step), the round-2
+    # volume_em lesson; the (n, 2*nzr) @ (2*nzr, n_vol) matmul is
+    # sub-millisecond on the MXU.
+    n_vol = e_ph.shape[0]
+    eps_stack = jnp.concatenate(
+        [eps_tot.reshape(nzr, -1), eps_th.reshape(nzr, -1)], axis=0
+    ).astype(jnp.float32)
+    row_id = jnp.clip(cat, 0, nzr - 1) + jnp.where(thermal, nzr, 0)
+    oh_row = (
+        row_id[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 2 * nzr), 1)
+    ).astype(jnp.float32)
+    cdf_v = jnp.dot(
+        oh_row, eps_stack, preferred_element_type=jnp.float32
     )
     iv = jnp.sum(
         (cdf_v < u[7][:, None]).astype(jnp.int32), axis=1
     )
-    n_vol = e_ph.shape[0]
     iv = jnp.clip(iv, 0, n_vol - 1)
-    e_lo = e_ph[jnp.maximum(iv - 1, 0)].astype(jnp.float32)
-    e_hi = e_ph[iv].astype(jnp.float32)
+    # bin-edge lookups as one-hot matmuls (scalar gathers avoided)
+    e_ph32 = e_ph.astype(jnp.float32)
+    cols_v = jax.lax.broadcasted_iota(jnp.int32, (1, n_vol), 1)
+    e_hi = jnp.dot(
+        (iv[:, None] == cols_v).astype(jnp.float32), e_ph32,
+        preferred_element_type=jnp.float32,
+    )
+    e_lo = jnp.dot(
+        (jnp.maximum(iv - 1, 0)[:, None] == cols_v).astype(jnp.float32),
+        e_ph32, preferred_element_type=jnp.float32,
+    )
     e_v = e_lo + u[8] * (e_hi - e_lo)
 
     # boundary thermal: Planck at tbb (planck2d.f)
@@ -373,7 +407,7 @@ def emit(
     e_b = jnp.where(is_file, e_file, e_planck)
     e_new = jnp.where(is_vol, e_v, e_b)
 
-    w_new = budget.weights[cat]
+    w_new = _take1(budget.weights, cat)
     dcen_new = (u[11] * jnp.float32(c_scaled)) * dt.astype(jnp.float32)
 
     # source energy lost when free slots run out (the reference instead
