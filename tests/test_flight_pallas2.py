@@ -218,3 +218,42 @@ def test_v2_inline_scatter_matches_xla_sampler():
     tol = 5.0 * max(s_k, s_x) / np.sqrt(min(one.sum(), n))
     assert abs(m_k - m_x) < tol, (m_k, m_x, tol)
     assert 0.5 < s_k / s_x < 2.0, (s_k, s_x)
+
+
+def test_v2_driver_interpret_matches_xla_statistically():
+    """Full-driver coverage of the pallas outer loop on CPU: forcing
+    pallas_tracking='on' off-TPU runs the kernel in interpret mode
+    (driver sets pallas_interpret); two steps of the same config must
+    agree with the XLA path within loose MC tolerances and keep the
+    energy audit exact. (The compiled-Mosaic path is gated on the chip
+    by tools/pallas_e2e.py; this covers the outer-loop wiring — leak
+    handoff, tally/log plumbing, straggler semantics — in CI.)"""
+    import dataclasses
+
+    from compton2d_tpu.examples import small_corona
+
+    def run(pallas):
+        sim = small_corona(
+            nz=3, nr=2, nst=3000, n_slots=4096, num_nt=50, n_vol=64,
+            nphfield=64, t_const=False, seed=6,
+        )
+        cfg = dataclasses.replace(
+            sim.cfg,
+            run=dataclasses.replace(sim.cfg.run, pallas_tracking=pallas),
+        )
+        sim = sim.with_config(cfg)
+        for _ in range(2):
+            sim.step()
+        a = sim.energy_audit()
+        return a
+
+    a_x = run("off")
+    a_p = run("on")
+    assert abs(a_p["balance"] - 1.0) < 2e-3
+    assert abs(a_x["balance"] - 1.0) < 2e-3
+    # loose order-of-magnitude agreement: nst=3000 seed-to-seed spread
+    # is ~30% on these totals, so this catches wiring breakage (the
+    # precision comparison is the on-chip gate's job)
+    for q in ("escaped", "census"):
+        ref = max(abs(a_x[q]), 1e-300)
+        assert abs(a_p[q] - a_x[q]) / ref < 0.6, (q, a_p[q], a_x[q])
