@@ -257,3 +257,47 @@ def test_v2_driver_interpret_matches_xla_statistically():
     for q in ("escaped", "census"):
         ref = max(abs(a_x[q]), 1e-300)
         assert abs(a_p[q] - a_x[q]) / ref < 0.6, (q, a_p[q], a_x[q])
+
+
+def test_v2_gamma_gamma_absorption_channel():
+    """pair_switch=True kernel path: a strong uniform kgg table must
+    attenuate >47 keV photons with the absorbed energy tallied to
+    pair_abs (not edep), leaving the audit exact."""
+    nz, nr = 2, 2
+    nzr = nz * nr
+    n_vol, n_gg, num_nt = 48, 32, 40
+    e_ph = np.geomspace(1e-3, 1e3, n_vol)
+    e_gg = np.geomspace(50.0, 5000.0, n_gg)
+    opac = np.zeros((nzr, n_vol, 2), np.float32)
+    opac[:, :, 0] = 1e-3
+    kgg = np.full((nzr, n_gg), 3.0, np.float32)
+    gnt = np.geomspace(1e-4, 1e4, num_nt)
+    cdf = np.cumsum(np.exp(-gnt / 0.2))
+    cdf_nt = np.tile((cdf / cdf[-1])[None, :], (nzr, 1)).astype(np.float32)
+    ktab, dims = fp2.build_kernel_tables(
+        jnp.asarray(opac), jnp.asarray(kgg), jnp.asarray(cdf_nt),
+        jnp.asarray(gnt), jnp.asarray(np.linspace(0, 1, nr + 1)),
+        jnp.asarray(np.linspace(0, 1, nz + 1)),
+        float(np.log(e_ph[0])), float(np.log(e_ph[1] / e_ph[0])),
+        float(np.log(e_gg[0])), float(np.log(e_gg[1] / e_gg[0])),
+    )
+    n = fp2.TILE
+    p = _mkphotons(n, nz, nr, dcen=1.0)
+    p["e"] = jnp.full(n, 100.0, jnp.float32)    # > 47 keV, in e_gg grid
+    out = fp2.flight_step_v2(
+        p["e"], p["w"], p["w0"], p["r"], p["z"], p["mu"], p["cphi"],
+        p["sphi"], p["dcen"], p["jz"], p["kr"], p["alive"],
+        ktab, p["seeds"],
+        dims=dims, nz=nz, nr=nr, pair_switch=True, inline_scatter=True,
+        weight_floor=1e-10, max_iters=64, max_tries=64, interpret=True,
+    )
+    w = np.asarray(out[1])
+    ekill, esct, epair = (float(out[16]), float(out[17]),
+                          float(out[18]))
+    tall = np.asarray(out[20])
+    # strong attenuation happened and went to the pair channel
+    assert w.sum() < 0.8 * n
+    assert epair > 0.1 * n
+    # nearly all absorption is gamma-gamma (kap tiny): edep ~ d_e only
+    total = w.sum() + tall[0].sum() + ekill + epair - 2.0 * esct
+    np.testing.assert_allclose(total, float(n), rtol=3e-4)

@@ -33,7 +33,14 @@ def run(strat: bool, steps: int, nst: int):
     from compton2d_tpu.examples import mrk421, MRK421_BANDS, MRK421_GAMMA
     from compton2d_tpu.io.events import EventArrayStore
 
-    sim = mrk421(nst=nst, n_slots=1 << 16)
+    # SSC-resolved density: at the canonical thin blob (n_e=20,
+    # tau_T ~ 1e-7) essentially no Compton scatters occur at feasible
+    # photon counts, so the splitting knob is vacuous there (the
+    # round-3 FOM table's GeV/TeV rows on the thin config were the
+    # degenerate-emission-CDF bug's garbage photons — see
+    # artifacts/README.md). The dense variant (tau_T ~ 1e-2) gives the
+    # tail stratum real events to split.
+    sim = mrk421(nst=nst, n_slots=1 << 16, n_e=2.0e6)
     cfg = dataclasses.replace(
         sim.cfg,
         source=dataclasses.replace(
