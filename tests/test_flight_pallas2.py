@@ -301,3 +301,29 @@ def test_v2_gamma_gamma_absorption_channel():
     # nearly all absorption is gamma-gamma (kap tiny): edep ~ d_e only
     total = w.sum() + tall[0].sum() + ekill + epair - 2.0 * esct
     np.testing.assert_allclose(total, float(n), rtol=3e-4)
+
+
+def test_v2_kernel_composes_with_photon_mesh():
+    """The pallas path must compose with the shard_map photon mesh
+    (each device runs the kernel on its local SoA shard; tallies
+    psum'd): 2 steps on a 4-device mesh with an exact audit. On real
+    hardware this is the multi-chip configuration; here the kernel
+    runs in interpret mode inside the sharded step."""
+    import dataclasses
+
+    from compton2d_tpu.examples import small_corona
+    from compton2d_tpu.parallel.mesh import make_photon_mesh
+
+    mesh = make_photon_mesh(jax.devices()[:4])
+    sim = small_corona(
+        nz=3, nr=2, nst=2000, n_slots=4096, num_nt=40, n_vol=48,
+        nphfield=48, t_const=False, seed=2, mesh=mesh,
+    )
+    cfg = dataclasses.replace(
+        sim.cfg, run=dataclasses.replace(sim.cfg.run,
+                                         pallas_tracking="on"),
+    )
+    sim = sim.with_config(cfg, mesh=mesh)
+    for _ in range(2):
+        sim.step()
+    assert abs(sim.energy_audit()["balance"] - 1.0) < 2e-3
