@@ -66,6 +66,8 @@ class StepOutputs(NamedTuple):
     e_el_new: jnp.ndarray
     dT_max: jnp.ndarray
     fp_substeps: jnp.ndarray
+    fp_incomplete: jnp.ndarray  # () zones whose FP substep loop ran out
+                                # of budget (0 with the d_t floor)
     n_tracked: jnp.ndarray    # () photons tracked this step (histories)
     nph_raw: jnp.ndarray      # (nz, nr, n_gg) gamma-gamma field before
                               # smoothing (n_ph1.dat, imcgen2d.f:198-201)
@@ -387,6 +389,7 @@ class Simulation:
                 e_el_new=jnp.zeros(()),
                 dT_max=jnp.zeros(()),
                 fp_substeps=jnp.zeros((), jnp.int32),
+                fp_incomplete=jnp.zeros((), jnp.int32),
                 n_tracked=jnp.zeros((), jnp.int32),
                 nph_raw=jnp.zeros(()),
                 nph_fit=jnp.zeros(()),
@@ -637,6 +640,8 @@ class Simulation:
             )
         if getattr(self, "n_events_dropped", 0):
             extras += f" evt_dropped={self.n_events_dropped}"
+        if int(o.fp_incomplete):
+            extras += f" fp_incomplete={int(o.fp_incomplete)}"
         return (
             f"cycle={int(s.ncycle)} t={float(s.time):.4e}s "
             f"dt={float(s.dt):.3e}s census={alive} "
@@ -1117,6 +1122,7 @@ def _step_impl(
                 e_el_old=psum(fpr.e_el_old),
                 e_el_new=psum(fpr.e_el_new),
                 substeps=jax.lax.pmax(fpr.substeps, axis_name),
+                incomplete=psum(fpr.incomplete),
             )
         else:
             fpr = fp_step(
@@ -1146,12 +1152,14 @@ def _step_impl(
         dT_max = jnp.where(apply, fpr.dT_max, 0.0)
         e_el_old, e_el_new = fpr.e_el_old, fpr.e_el_new
         fp_sub = fpr.substeps
+        fp_inc = jnp.where(apply, fpr.incomplete, 0)
     else:
         zones_new = zones
         dT_max = jnp.zeros(())
         e_el_old = jnp.zeros(())
         e_el_new = jnp.zeros(())
         fp_sub = jnp.zeros((), jnp.int32)
+        fp_inc = jnp.zeros((), jnp.int32)
 
     # ---- 5. advance time (xec2d.f:100-106: constant dt) -------------
     # opt-in adaptive dt (run.adaptive_dt): apply the FP ladder's
@@ -1191,6 +1199,7 @@ def _step_impl(
         e_el_new=e_el_new,
         dT_max=dT_max,
         fp_substeps=fp_sub,
+        fp_incomplete=fp_inc,
         n_tracked=n_tracked,
         nph_raw=nph_raw,
         nph_fit=nph_fit,

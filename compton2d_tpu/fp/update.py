@@ -52,6 +52,9 @@ class FPResult(NamedTuple):
     e_el_old: jnp.ndarray      # () total electron energy before [erg]
     e_el_new: jnp.ndarray      # () after [erg]
     substeps: jnp.ndarray      # () max substeps used
+    incomplete: jnp.ndarray    # () zones whose substep loop ran out of
+                               # budget with t_fp < dt (should be 0: the
+                               # d_t floor guarantees completion)
 
 
 def fp_step(
@@ -220,9 +223,22 @@ def fp_step(
             0.0, cn.DF_T,
         )
         d_t = f_imp * dt
-        d_t = jnp.where(
-            d_t > dt - t_fp, 1.00001 * (dt - t_fp), d_t
-        )
+        # stiff-zone floor: the df_implicit rule makes d_t ~ 1/rate,
+        # so a zone whose cooling time is << dt would need unbounded
+        # substeps (the reference's loop is unbounded and would
+        # effectively hang there; our fp_max_substeps cap used to
+        # leave such zones FROZEN at t_fp = 0). The Chang-Cooper
+        # discretization is fully implicit — unconditionally stable —
+        # so flooring d_t at dt/fp_max_substeps lets stiff zones relax
+        # toward their (Compton/Coulomb) equilibrium within the
+        # substep budget instead of not evolving at all; accuracy
+        # degrades gracefully from dT-tracking to equilibrium-seeking.
+        # (1.001x so 256 f32 accumulations cannot undershoot dt)
+        d_t = jnp.maximum(d_t, 1.001 * dt / phys.fp_max_substeps)
+        # final substep: land on t_fp == dt exactly (an f32-rounded
+        # `t_fp + d_t` can stall a few ulp short of dt forever)
+        last = d_t >= dt - t_fp
+        d_t = jnp.where(last, dt - t_fp, d_t)
         d_t = jnp.maximum(d_t, 1e-30)
 
         # ---- pair sources/sinks (update2d.f:1185-1221) -------------
@@ -364,7 +380,9 @@ def fp_step(
         f = jnp.where(upd[:, None], f_new, f)
         npos = jnp.where(upd[:, None], npos_new, npos)
         th_e = jnp.where(upd, th_new, th_e)
-        t_fp_new = jnp.where(upd, t_fp + d_t, t_fp)
+        t_fp_new = jnp.where(
+            upd, jnp.where(last, dt, t_fp + d_t), t_fp
+        )
         done_new = t_fp_new >= dt
         return it + 1, t_fp_new, f, th_e, npz, nlept_z, npos, done_new
 
@@ -377,8 +395,11 @@ def fp_step(
         jnp.int32(0), jnp.zeros((Z,), f32), f_old, th_e0, n_p,
         n_lept, npos0, jnp.zeros((Z,), bool),
     )
-    it_end, _, f_fin, th_fin, np_fin, _, npos_fin, _ = jax.lax.while_loop(
-        cond, body, init
+    it_end, t_fp_end, f_fin, th_fin, np_fin, _, npos_fin, _ = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    incomplete = jnp.sum(
+        jnp.where(valid, (t_fp_end < dt).astype(jnp.int32), 0)
     )
 
     te_new = jnp.clip(
@@ -472,6 +493,7 @@ def fp_step(
         e_el_old=e_el_old,
         e_el_new=e_el_new,
         substeps=it_end,
+        incomplete=incomplete,
     )
 
 

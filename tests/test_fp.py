@@ -198,3 +198,46 @@ def test_fp_include_bremsstrahlung_cools():
     te_on = solve(True)
     assert np.all(np.isfinite(te_on))
     assert np.all(te_on < te_off - 5.0), (te_on, te_off)
+
+
+def test_stiff_zone_completes_with_dt_floor():
+    """A zone whose Compton cooling time is << dt makes the
+    df_implicit substep rule (update2d.f:662-666) collapse to
+    d_t ~ 1/rate -> 0: the reference's unbounded loop would hang there,
+    and before the d_t floor our fp_max_substeps cap left such zones
+    FROZEN at their initial Te (t_fp stayed 0). With the floor
+    d_t >= dt/fp_max_substeps the implicit Chang-Cooper solve must
+    instead complete the step (incomplete == 0) and actually relax the
+    temperature toward the Compton equilibrium."""
+    import jax.numpy as jnp
+
+    from compton2d_tpu.examples import small_corona
+    from compton2d_tpu.fp.update import fp_step
+    from compton2d_tpu.physics.emissivity import volume_em
+
+    sim = small_corona(
+        nz=2, nr=2, nst=300, n_slots=1024, num_nt=40, n_vol=64,
+        nphfield=32, t_const=False, seed=7,
+    )
+    z = sim.state.zones
+    g = sim.grid
+    l_min = jnp.minimum(g.dz, g.dr) * jnp.ones_like(g.vol)
+    ve = volume_em(
+        sim.tables.e_ph, sim.tables.gnt, z.f_nt, z.tea, z.n_e,
+        z.B_field, z.amxwl, g.vol, g.zone_surf, l_min,
+        sim.state.dt, sim.tables.sync, sim.scales, f_pair=z.f_pair,
+    )
+    # flood the soft field bins with an enormous photon count: the
+    # IC rate becomes so stiff that d_t without the floor is ~1e-30
+    nf = jnp.zeros((2, 2, 32), jnp.float32).at[:, :, :10].set(1e7)
+    r = fp_step(
+        z, nf, sim.tables, g.vol, float(sim.cfg.grid.z_max), g.dz,
+        sim.state.dt, sim.state.time, ve.eloss_sy,
+        sim.cfg.physics, sim.scales, eloss_br=ve.eloss_br,
+    )
+    te0 = np.asarray(z.tea)
+    te1 = np.asarray(r.zones.tea)
+    assert int(r.incomplete) == 0, int(r.incomplete)
+    assert np.all(np.isfinite(te1))
+    # frozen zones used to return te1 == te0 bit-exactly
+    assert np.all(np.abs(te1 - te0) > 0.01 * te0), (te0, te1)
