@@ -642,6 +642,8 @@ class Simulation:
             extras += f" evt_dropped={self.n_events_dropped}"
         if int(o.fp_incomplete):
             extras += f" fp_incomplete={int(o.fp_incomplete)}"
+        if int(o.tallies.n_sct_overflow):
+            extras += f" sct_overflow={int(o.tallies.n_sct_overflow)}"
         return (
             f"cycle={int(s.ncycle)} t={float(s.time):.4e}s "
             f"dt={float(s.dt):.3e}s census={alive} "
@@ -1119,6 +1121,12 @@ def _step_impl(
             fpr = fpr._replace(
                 zones=jax.tree_util.tree_map(zgather, fpr.zones),
                 dT_max=jax.lax.pmax(fpr.dT_max, axis_name),
+                # dt ladder (update2d.f:232-243) is monotone
+                # non-increasing in dT_max, so the global ladder value
+                # ladder(pmax(dT_max)) == pmin(local dt_new); without
+                # this, adaptive_dt would apply a per-device dt and
+                # replicated state.dt/time would silently diverge
+                dt_new=jax.lax.pmin(fpr.dt_new, axis_name),
                 e_el_old=psum(fpr.e_el_old),
                 e_el_new=psum(fpr.e_el_new),
                 substeps=jax.lax.pmax(fpr.substeps, axis_name),

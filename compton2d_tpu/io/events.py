@@ -65,10 +65,12 @@ class EventFileWriter:
         self.path = path
         self.energy_scale = energy_scale
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        # truncate-on-open matches the previous append-handle
-        # lifecycle; writes go through the native formatter when
-        # available (io.native.write_event_rows, ~3x np.savetxt)
-        self._fh = open(path, "a")
+        # Truncate on open so a re-run into an existing path never mixes
+        # stale records with new ones (the native writer appends, so the
+        # truncation must happen here, before the first write). Writes go
+        # through the native formatter when available
+        # (io.native.write_event_rows, ~3x np.savetxt).
+        self._fh = open(path, "w")
         self.n_written = 0
         self.n_dropped = 0
 

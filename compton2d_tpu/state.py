@@ -135,6 +135,10 @@ class Tallies(NamedTuple):
                            # (Pallas mode: kernel re-entries; XLA
                            # mode: flight-loop iterations) — the
                            # roofline traffic model input
+    n_sct_overflow: jnp.ndarray  # () int32 scatter events past the
+                           # kernel's K_LOG per-lane event-log depth:
+                           # their energy stays in edep/e_scatter but
+                           # the e_ic/n_esp histograms miss them
 
     @classmethod
     def zeros(cls, nz, nr, num_nt, nphfield, n_gg, nmu, nphtotal, nph_lc):
@@ -158,6 +162,7 @@ class Tallies(NamedTuple):
             e_rr=f(()),
             n_rr=jnp.zeros((), jnp.int32),
             trk_rounds=jnp.zeros((), jnp.int32),
+            n_sct_overflow=jnp.zeros((), jnp.int32),
         )
 
 

@@ -544,7 +544,11 @@ def _transport_step_pallas(
             # e_ic / n_esp attribution from the per-lane event logs
             # (one one-hot matmul per round; events beyond K_LOG kept
             # their energy in edep/esct, only this histogram drops
-            # them)
+            # them — counted in n_sct_overflow so the loss is visible)
+            tl = tl._replace(
+                n_sct_overflow=tl.n_sct_overflow
+                + jnp.sum(jnp.maximum(sct_cnt - fp2.K_LOG, 0))
+            )
             logged = iglog.reshape(-1) >= 0
             ig_flat = jnp.where(logged, iglog.reshape(-1), 0)
             de_flat = jnp.where(logged, delog.reshape(-1), 0.0)

@@ -16,8 +16,7 @@ optical to TeV, compared against data/observations/). This script:
    lc.dat (t, 7 band rates), summary.json (peak locations, fluxes,
    run metadata). tests/test_mrk421.py asserts the committed
    artifact's SED peaks land in the right decades (synchrotron ~keV
-   and below, SSC in the GeV-TeV decades for these parameters) and
-   that the TeV flux is positive.
+   and below, SSC in the GeV decades for these parameters).
 
 Usage: python tools/run_mrk421.py [--nst 20000] [--out artifacts/mrk421]
 """
