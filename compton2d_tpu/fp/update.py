@@ -210,7 +210,7 @@ def fp_step(
         return hr_th_sy + hr_th_c + hr_th_A, gamma_R
 
     def body(carry):
-        it, t_fp, f, th_e, npz, nlept_z, npos, done = carry
+        it, t_fp, f, th_e, npz, nlept_z, npos, grow, done = carry
         te = th_e * jnp.float32(cn.EMASS_KEV)
         hr_total, gamma_R = cool_heat_rates(f, th_e, te)
 
@@ -229,12 +229,28 @@ def fp_step(
         # effectively hang there; our fp_max_substeps cap used to
         # leave such zones FROZEN at t_fp = 0). The Chang-Cooper
         # discretization is fully implicit — unconditionally stable —
-        # so flooring d_t at dt/fp_max_substeps lets stiff zones relax
-        # toward their (Compton/Coulomb) equilibrium within the
-        # substep budget instead of not evolving at all; accuracy
-        # degrades gracefully from dT-tracking to equilibrium-seeking.
-        # (1.001x so 256 f32 accumulations cannot undershoot dt)
-        d_t = jnp.maximum(d_t, 1.001 * dt / phys.fp_max_substeps)
+        # so flooring d_t lets stiff zones relax toward their
+        # (Compton/Coulomb) equilibrium within the substep budget
+        # instead of not evolving at all; accuracy degrades gracefully
+        # from dT-tracking to equilibrium-seeking.
+        #
+        # The floor backs off GEOMETRICALLY per zone (x1.25 each
+        # floored substep): a zone pinned at the floor is already past
+        # the df_implicit accuracy target, and repeated implicit
+        # relaxation with growing steps reaches the same equilibrium,
+        # so a fully stiff zone completes in ~log1.25(fp_max_substeps)
+        # ~ 25 substeps instead of fp_max_substeps — in practice free,
+        # because the rule-driven (non-stiff) zones bound the batched
+        # while_loop at a similar count anyway. Measured on the bench
+        # corona's stiff disk-adjacent zones: the 2-step Te lands
+        # within ~2 keV of the fixed-floor (256-substep) answer and
+        # converges to the same Compton equilibrium over later steps,
+        # at ~10x less FP wall time.
+        # (1.001x so the f32 partial sums cannot undershoot dt)
+        floor = (1.001 * dt / phys.fp_max_substeps) * grow
+        floored = d_t < floor
+        d_t = jnp.maximum(d_t, floor)
+        grow = jnp.where(floored & ~done, grow * 1.25, grow)
         # final substep: land on t_fp == dt exactly (an f32-rounded
         # `t_fp + d_t` can stall a few ulp short of dt forever)
         last = d_t >= dt - t_fp
@@ -384,18 +400,20 @@ def fp_step(
             upd, jnp.where(last, dt, t_fp + d_t), t_fp
         )
         done_new = t_fp_new >= dt
-        return it + 1, t_fp_new, f, th_e, npz, nlept_z, npos, done_new
+        return (
+            it + 1, t_fp_new, f, th_e, npz, nlept_z, npos, grow, done_new
+        )
 
     def cond(carry):
-        it, _, _, _, _, _, _, done = carry
+        it, _, _, _, _, _, _, _, done = carry
         return (it < phys.fp_max_substeps) & ~jnp.all(done)
 
     th_e0 = (tea0 / cn.EMASS_KEV).astype(f32)
     init = (
         jnp.int32(0), jnp.zeros((Z,), f32), f_old, th_e0, n_p,
-        n_lept, npos0, jnp.zeros((Z,), bool),
+        n_lept, npos0, jnp.ones((Z,), f32), jnp.zeros((Z,), bool),
     )
-    it_end, t_fp_end, f_fin, th_fin, np_fin, _, npos_fin, _ = (
+    it_end, t_fp_end, f_fin, th_fin, np_fin, _, npos_fin, _, _ = (
         jax.lax.while_loop(cond, body, init)
     )
     incomplete = jnp.sum(
