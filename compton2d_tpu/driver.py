@@ -876,11 +876,9 @@ def _step_impl(
             photons.w / jnp.maximum(photons.e, 1e-30),
             0.0,
         )
-        nph_scaled = psum(
-            jnp.zeros((nz * nr, ngg))
-            .at[zid, gbin]
-            .add(cnts, mode="drop")
-        )
+        from compton2d_tpu.transport.tracking import hist2d_accum
+
+        nph_scaled = psum(hist2d_accum(cnts, zid, nz * nr, gbin, ngg))
         de_gg = jnp.concatenate(
             [jnp.diff(egg32), jnp.ones((1,), jnp.float32)]
         )

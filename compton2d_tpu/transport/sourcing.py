@@ -366,16 +366,16 @@ def emit(
         (cdf_v < u[7][:, None]).astype(jnp.int32), axis=1
     )
     iv = jnp.clip(iv, 0, n_vol - 1)
-    # bin-edge lookups as one-hot matmuls (scalar gathers avoided)
+    # bin-edge lookups in closed form: e_ph is log-uniform (the
+    # emissivity pass already relies on the single ratio), so
+    # e_ph[i] = e_ph[0] * ratio^i — two exp()s replace two (n, n_vol)
+    # one-hot matmuls
     e_ph32 = e_ph.astype(jnp.float32)
-    cols_v = jax.lax.broadcasted_iota(jnp.int32, (1, n_vol), 1)
-    e_hi = jnp.dot(
-        (iv[:, None] == cols_v).astype(jnp.float32), e_ph32,
-        preferred_element_type=jnp.float32,
-    )
-    e_lo = jnp.dot(
-        (jnp.maximum(iv - 1, 0)[:, None] == cols_v).astype(jnp.float32),
-        e_ph32, preferred_element_type=jnp.float32,
+    log_e0 = jnp.log(e_ph32[0])
+    dlog_e = jnp.log(e_ph32[1] / e_ph32[0])
+    e_hi = jnp.exp(log_e0 + iv.astype(jnp.float32) * dlog_e)
+    e_lo = jnp.exp(
+        log_e0 + jnp.maximum(iv - 1, 0).astype(jnp.float32) * dlog_e
     )
     e_v = e_lo + u[8] * (e_hi - e_lo)
 

@@ -149,6 +149,25 @@ def zone_accum(vals, zid, nzr):
     )
 
 
+def hist2d_accum(vals, zid, nzr, bins, n_bins):
+    """Deterministic 2-D histogram sum((zid, bins) <- vals) as a
+    two-sided one-hot matmul: (n_bins, n) @ (n, nzr), both one-hots
+    fused from iota-compares. Replaces ``.at[zid, bins].add`` — the
+    XLA scatter lowers to a serialized/sort-based op on TPU (~1.4 ms
+    at 131072 slots into 32x400) while this MXU matmul is ~0.55 ms."""
+    ohz = (
+        zid[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, nzr), 1)
+    ).astype(jnp.float32) * vals[:, None]
+    ohb = (
+        bins[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, n_bins), 1)
+    ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        ohz, ohb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (nzr, n_bins)
+
+
 def loggrid_bin(e, log0, dlog, n_bins):
     """Shared log-grid binning + in-range mask for the radiation-field
     and gamma-gamma census tallies (imctrk2d.f:537-556): bin index on
@@ -769,8 +788,8 @@ def _leak(ph, tl, ev, mask, g, ctx, st, k1, k2):
     # inner r boundary (imcleak2d.f:71-88)
     if st.rmin_positive:
         tl = tl._replace(
-            erlk_inner=tl.erlk_inner.at[jz_c].add(
-                jnp.where(at_inner, ph.w, 0.0)
+            erlk_inner=tl.erlk_inner + zone_accum(
+                jnp.where(at_inner, ph.w, 0.0), jz_c, st.nz
             )
         )
         die_inner = at_inner
@@ -783,19 +802,20 @@ def _leak(ph, tl, ev, mask, g, ctx, st, k1, k2):
         )
         die_inner = jnp.zeros((n,), bool)
 
-    # leakage tallies
+    # leakage tallies (one-hot matmul accums; TPU scatters are slow)
     tl = tl._replace(
-        erlk_outer=tl.erlk_outer.at[jz_c].add(
-            jnp.where(at_outer, ph.w, 0.0)
+        erlk_outer=tl.erlk_outer + zone_accum(
+            jnp.where(at_outer, ph.w, 0.0), jz_c, st.nz
         ),
-        erlk_upper=tl.erlk_upper.at[kr_c].add(
-            jnp.where(at_upper, ph.w, 0.0)
+        erlk_upper=tl.erlk_upper + zone_accum(
+            jnp.where(at_upper, ph.w, 0.0), kr_c, st.nr
         ),
-        erlk_lower=tl.erlk_lower.at[kr_c].add(
-            jnp.where(at_lower, ph.w, 0.0)
+        erlk_lower=tl.erlk_lower + zone_accum(
+            jnp.where(at_lower, ph.w, 0.0), kr_c, st.nr
         ),
-        ed_in=tl.ed_in.at[kr_c].add(
-            jnp.where(at_lower & ctx.tbbl_pos[kr_c], ph.w, 0.0)
+        ed_in=tl.ed_in + zone_accum(
+            jnp.where(at_lower & ctx.tbbl_pos[kr_c], ph.w, 0.0),
+            kr_c, st.nr,
         ),
     )
 
@@ -838,8 +858,8 @@ def _leak(ph, tl, ev, mask, g, ctx, st, k1, k2):
         refl_sample = reflect_low & ~mirror
         e_new, w_new = sample_reflection(ph.e, ph.w, k1, k2)
         tl = tl._replace(
-            ed_ref=tl.ed_ref.at[kr_c].add(
-                jnp.where(refl_sample, w_new, 0.0)
+            ed_ref=tl.ed_ref + zone_accum(
+                jnp.where(refl_sample, w_new, 0.0), kr_c, st.nr
             )
         )
         ph = ph._replace(
@@ -910,12 +930,15 @@ def _leak(ph, tl, ev, mask, g, ctx, st, k1, k2):
         w_sp = jnp.where(reflect_low | at_upper | at_lower, ph.w, 0.0)
     else:
         w_sp = w_tal
+    nmu = tl.fout.shape[0]
     tl = tl._replace(
-        fout=tl.fout.at[mb, jnp.maximum(sp, 0)].add(
-            jnp.where(sp >= 0, w_sp, 0.0)
+        fout=tl.fout + hist2d_accum(
+            jnp.where(sp >= 0, w_sp, 0.0), mb, nmu,
+            jnp.maximum(sp, 0), tl.fout.shape[1],
         ),
-        edout=tl.edout.at[mb, jnp.maximum(lc, 0)].add(
-            jnp.where(lc >= 0, w_tal, 0.0) / ctx.dt
+        edout=tl.edout + hist2d_accum(
+            jnp.where(lc >= 0, w_tal, 0.0) / ctx.dt, mb, nmu,
+            jnp.maximum(lc, 0), tl.edout.shape[1],
         ),
     )
 
@@ -977,17 +1000,17 @@ def census_tally(
     fbin, in_field = loggrid_bin(
         photons.e, ctx.e_field_log0, ctx.e_field_dlog, nphf
     )
-    n_field = tallies.n_field.reshape(nzr, nphf).at[
-        zid, fbin
-    ].add(jnp.where(in_field, counts, 0.0), mode="drop")
+    n_field = tallies.n_field.reshape(nzr, nphf) + hist2d_accum(
+        jnp.where(in_field, counts, 0.0), zid, nzr, fbin, nphf
+    )
 
     # gamma-gamma field (imctrk2d.f:537-545)
     ngg = tallies.n_ph.shape[-1]
     gbin, in_gg = loggrid_bin(
         photons.e, ctx.e_gg_log0, ctx.e_gg_dlog, ngg
     )
-    n_ph = tallies.n_ph.reshape(nzr, ngg).at[zid, gbin].add(
-        jnp.where(in_gg, counts, 0.0), mode="drop"
+    n_ph = tallies.n_ph.reshape(nzr, ngg) + hist2d_accum(
+        jnp.where(in_gg, counts, 0.0), zid, nzr, gbin, ngg
     )
 
     return tallies._replace(
