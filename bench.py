@@ -30,6 +30,10 @@ PEAK_HBM_GBS = 819.0   # TPU v5e public spec
 
 
 def _measure(sim, steps):
+    """Time `steps` simulation steps. The step() loop's async dispatch
+    pipelines per-call runtime latency behind device execution (an
+    8-step lax.scan alternative measured 2.3x slower on-device — see
+    the note in driver.py)."""
     import jax
 
     outs = []
@@ -69,7 +73,7 @@ def main():
             n_vol=400, nphfield=128,
             t_const=bool(int(os.environ.get("BENCH_TCONST", 0))),
         )
-        steps = int(os.environ.get("BENCH_STEPS", 3))
+        steps = int(os.environ.get("BENCH_STEPS", 16))
     else:
         # reference-scale tables: 200 gamma bins, 400-bin emissivity and
         # field grids (general.pa)
@@ -79,7 +83,7 @@ def main():
             t_const=bool(int(os.environ.get("BENCH_TCONST", 0))),
             max_flight_iters=int(os.environ.get("BENCH_MAX_ITERS", 256)),
         )
-        steps = int(os.environ.get("BENCH_STEPS", 3))
+        steps = int(os.environ.get("BENCH_STEPS", 16))
 
     # warmup: compile + populate the census
     t0 = time.time()
@@ -124,16 +128,27 @@ def main():
     # (tools/pallas_e2e.py; BENCH_PALLAS_E2E=0 to skip): records in the
     # BENCH JSON that the Mosaic-compiled kernel reproduces the
     # validated XLA path's physics on this chip
-    e2e = None
+    e2e = e2e_strat = None
     if int(os.environ.get("BENCH_PALLAS_E2E", 1)) and size != "small":
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from tools.pallas_e2e import run_gate
 
-        try:
-            g = run_gate(steps=3, nst=20000, pairs=True)
-            e2e = {"passed": g["passed"], "rel_dev": g["rel_dev"]}
-        except RuntimeError as e:
-            e2e = {"passed": False, "error": str(e)}
+        def _gate(strat):
+            try:
+                g = run_gate(steps=3, nst=200000, pairs=True, strat=strat)
+                return {
+                    "passed": g["passed"],
+                    "rel_dev": g["rel_dev"],
+                    "noise_floor": g["noise_floor"],
+                    "n_stiff_zones": g["n_stiff_zones"],
+                }
+            except RuntimeError as e:
+                return {"passed": False, "error": str(e)}
+
+        e2e = _gate(False)
+        # the strat_split (FLAG_SCATTER freeze) kernel path, gated
+        # on-chip as well (VERDICT r4 weak #1)
+        e2e_strat = _gate(True)
 
     BASELINE_VALUE = 1.0e5  # round-1 self-baseline (histories/s/chip)
     rec = {
@@ -148,6 +163,8 @@ def main():
         rec["mrk421_histories_per_s"] = round(mrk_value, 0)
     if e2e is not None:
         rec["pallas_e2e"] = e2e
+    if e2e_strat is not None:
+        rec["pallas_e2e_strat"] = e2e_strat
     print(json.dumps(rec))
     print(
         f"# compile={compile_s:.1f}s measure={dt_s:.2f}s "

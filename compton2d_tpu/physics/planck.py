@@ -35,6 +35,11 @@ def sample_planck(
         inv_m = jnp.ones(shape, dtype)
     else:
         rn = jax.random.uniform(k2, shape, dtype=jnp.float32) * _ZETA4
-        m = jnp.searchsorted(jnp.asarray(_CDF_M, jnp.float32), rn) + 1
+        # compare-count form of searchsorted (TPU searchsorted lowers
+        # to a gather while-loop)
+        cdf = jnp.asarray(_CDF_M, jnp.float32)
+        m = jnp.sum(
+            (cdf[None, :] < rn[..., None]).astype(jnp.int32), axis=-1
+        ) + 1
         inv_m = 1.0 / m.astype(dtype)
     return (ap0 * inv_m).astype(dtype) * jnp.asarray(T_keV, dtype)

@@ -259,11 +259,17 @@ def build_kernel_tables(
     ).reshape(nzr * cg_nt, LANE))
 
     # guide: lo_j = #(cdf[z] < u_edge(j)); hi_j = lo_{j+1} is looked
-    # up at cell j+1 (clamped to num_nt at the top cell)
-    u_edges = jnp.asarray(guide_u_edges())
-    guide = jax.vmap(
-        lambda c: jnp.searchsorted(c, u_edges, side="left")
-    )(cdf_nt.astype(jnp.float32)).astype(jnp.int32)
+    # up at cell j+1 (clamped to num_nt at the top cell). Computed as
+    # a broadcast compare-count — vmap(searchsorted) lowers to a
+    # gather while-loop that cost ~2.6 ms/step on v5e at bench shapes
+    u_edges = jnp.asarray(guide_u_edges(), dtype=jnp.float32)
+    guide = jnp.sum(
+        (
+            cdf_nt.astype(jnp.float32)[:, :, None]
+            < u_edges[None, None, :]
+        ).astype(jnp.int32),
+        axis=1,
+    )
     guide_t = padrows(guide.reshape(nzr * cg_gd, LANE))
 
     gm1_mid = jnp.sqrt(gnt[1:] * gnt[:-1]).astype(jnp.float32)

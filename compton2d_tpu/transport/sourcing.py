@@ -43,6 +43,9 @@ from compton2d_tpu.physics.planck import sample_planck
 from compton2d_tpu.state import PhotonArray
 
 
+SPEC_INV_M = 1024   # quantile resolution of the inverse-CDF bank
+
+
 class SourceBudget(NamedTuple):
     counts: jnp.ndarray      # (C,) int32 photons per category
     cum_counts: jnp.ndarray  # (C,) inclusive cumulative counts
@@ -70,6 +73,8 @@ class SourceStatic(NamedTuple):
     # side per window; file_sp builds the CDF, imcsurf2d_para.f:544-685)
     spec_e: jnp.ndarray      # (n_spec, nf) energy grids [keV]
     spec_cdf: jnp.ndarray    # (n_spec, nf) sampling CDFs
+    spec_inv: jnp.ndarray    # (n_spec, SPEC_INV_M) log-e inverse-CDF
+                             # quantile table (built host-side)
     spec_lower: jnp.ndarray  # (nr,) int32 bank row per lower ring
     spec_upper: jnp.ndarray  # (nr,) int32 bank row per upper ring
     flux_lower: jnp.ndarray  # (nr,) integrated file flux [E/L^2/s]
@@ -219,8 +224,11 @@ def emit(
     rank = jnp.cumsum(free.astype(jnp.int32)) - 1       # rank among free
     is_new = free & (rank < budget.n_new)
     # category for this slot's photon
-    cat = jnp.searchsorted(budget.cum_counts, rank, side="right").astype(
-        jnp.int32
+    # compare-count form of searchsorted(side='right') — TPU
+    # searchsorted lowers to a gather while-loop
+    cat = jnp.sum(
+        (budget.cum_counts[None, :] <= rank[:, None]).astype(jnp.int32),
+        axis=1,
     )
     cat = jnp.clip(cat, 0, budget.cum_counts.shape[0] - 1)
 
@@ -383,28 +391,26 @@ def emit(
     e_planck = sample_planck(
         keys[9], jnp.maximum(tbb_here, 1e-6), dtype=jnp.float32
     )
-    # boundary file spectrum: per-ring inverse CDF from the bank
-    # (file_sample, imcsurf2d_para.f:694-788). Binary search with scalar
-    # gathers: O(log nf) (n,)-sized loads instead of an (n, nf) gather.
-    sid = jnp.where(
-        is_low, src.spec_lower[kr_s], src.spec_upper[kr_s]
-    ).astype(jnp.int32)
-    nf = src.spec_e.shape[1]
-    u_f = u[10]
-    lo = jnp.zeros((n,), jnp.int32)
-    hi = jnp.full((n,), nf, jnp.int32)
-    for _ in range(int(np.ceil(np.log2(max(nf, 2))))):
-        mid = (lo + hi) // 2
-        v = src.spec_cdf[sid, jnp.clip(mid, 0, nf - 1)]
-        go_hi = v < u_f
-        lo = jnp.where(go_hi, mid + 1, lo)
-        hi = jnp.where(go_hi, hi, mid)
-    fi = jnp.clip(lo, 1, nf - 1)
-    e_file = (
-        src.spec_e[sid, fi - 1]
-        + u[8] * (src.spec_e[sid, fi] - src.spec_e[sid, fi - 1])
-    ).astype(jnp.float32)
-    e_b = jnp.where(is_file, e_file, e_planck)
+    # boundary file spectrum (file_sample, imcsurf2d_para.f:694-788):
+    # one lerp into the host-precomputed log-e quantile table. A bank
+    # with only the dummy row (spec_e.shape[0] == 1, a STATIC shape
+    # check) means no boundary anywhere uses a file spectrum, so the
+    # sampler — whose per-photon gathers cost ~1 ms each on TPU — is
+    # skipped entirely.
+    if src.spec_e.shape[0] > 1:
+        sid = jnp.where(
+            is_low, src.spec_lower[kr_s], src.spec_upper[kr_s]
+        ).astype(jnp.int32)
+        m_inv = src.spec_inv.shape[1]
+        x = u[10] * (m_inv - 1)
+        j_q = jnp.clip(x.astype(jnp.int32), 0, m_inv - 2)
+        fr = x - j_q.astype(jnp.float32)
+        le_lo = src.spec_inv[sid, j_q]
+        le_hi = src.spec_inv[sid, j_q + 1]
+        e_file = jnp.exp(le_lo + fr * (le_hi - le_lo)).astype(jnp.float32)
+        e_b = jnp.where(is_file, e_file, e_planck)
+    else:
+        e_b = e_planck
     e_new = jnp.where(is_vol, e_v, e_b)
 
     w_new = _take1(budget.weights, cat)

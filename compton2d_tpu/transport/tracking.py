@@ -182,8 +182,12 @@ def loggrid_bin(e, log0, dlog, n_bins):
 
 def spectral_bin(hu, e):
     """Spectrum bin index, -1 if outside [hu_0, hu_N]
-    (get_bin, imcleak2d.f:342-371)."""
-    i = jnp.searchsorted(hu, e.astype(hu.dtype)) - 1
+    (get_bin, imcleak2d.f:342-371). Compare-count instead of
+    searchsorted: the latter lowers to a gather while-loop on TPU."""
+    e_c = e.astype(hu.dtype)
+    i = jnp.sum(
+        (hu[None, :] < e_c[:, None]).astype(jnp.int32), axis=1
+    ) - 1
     valid = (e > hu[0] * 1.000001) & (e < hu[-1] * 0.999999)
     return jnp.where(valid, jnp.clip(i, 0, hu.shape[0] - 2), -1).astype(
         jnp.int32
@@ -201,8 +205,12 @@ def lc_bin(lc_lo, lc_hi, e):
 
 
 def mu_bin(mu_edges, mu):
-    """Angular bin: first n with mu <= mu_edges[n] (imcleak2d.f:390-398)."""
-    i = jnp.searchsorted(mu_edges, mu.astype(mu_edges.dtype), side="left")
+    """Angular bin: first n with mu <= mu_edges[n] (imcleak2d.f:390-398).
+    Compare-count form of searchsorted(side='left')."""
+    mu_c = mu.astype(mu_edges.dtype)
+    i = jnp.sum(
+        (mu_edges[None, :] < mu_c[:, None]).astype(jnp.int32), axis=1
+    )
     return jnp.clip(i, 0, mu_edges.shape[0] - 1).astype(jnp.int32)
 
 
@@ -823,8 +831,16 @@ def _leak(ph, tl, ev, mask, g, ctx, st, k1, k2):
     # the outer disk (imcleak2d.f:104-165, 216-272)
     def sample_reflection(e_in, w_in, k_cdf, k_e):
         n_ref = ctx.e_ref.shape[0]
+        # compare-count form of searchsorted (avoids the TPU gather
+        # while-loop lowering)
         n_in = jnp.clip(
-            jnp.searchsorted(ctx.e_ref, e_in.astype(ctx.e_ref.dtype)),
+            jnp.sum(
+                (
+                    ctx.e_ref[None, :]
+                    < e_in.astype(ctx.e_ref.dtype)[:, None]
+                ).astype(jnp.int32),
+                axis=1,
+            ),
             0, n_ref - 1,
         ).astype(jnp.int32)
         u = jax.random.uniform(k_cdf, (n,), jnp.float32)

@@ -36,6 +36,9 @@ sys.path.insert(
 
 GAMMA_BULK = 33.0          # postprocessing/mrk421_lc.input:2
 T_BIN_OBS = 700.0          # observed-frame cadence [s] (:13)
+MU_RANGE = (0.99944, 0.99964)  # observer cone (:5-6 pattern)
+# Mrk 421: z = 0.031, d_L ~ 134 Mpc (H0 = 71)
+D_L_CM = 4.14e26
 
 
 def main():
@@ -52,6 +55,10 @@ def main():
     # (BASELINE.md round-3 FOM: TeV x2.53)
     ap.add_argument("--no-strat", dest="strat", action="store_false",
                     default=True)
+    # tail-stratum boundary: gamma_c ~ 3e4 targets the TeV band
+    # (observed 1e9 keV needs comoving E ~ 1e9/D ~ 3e7 keV, i.e. the
+    # KN limit of gamma ~ 6e4 electrons)
+    ap.add_argument("--strat-gamma-c", type=float, default=1.0e3)
     ap.add_argument("--n-e", type=float, default=20.0)
     args = ap.parse_args()
 
@@ -66,7 +73,8 @@ def main():
         sim.cfg,
         run=dataclasses.replace(sim.cfg.run, t_stop=args.t_stop),
         source=dataclasses.replace(
-            sim.cfg.source, strat_split=args.strat, strat_gamma_c=1.0e3
+            sim.cfg.source, strat_split=args.strat,
+            strat_gamma_c=args.strat_gamma_c,
         ),
     )
     sim = sim.with_config(cfg)
@@ -80,6 +88,15 @@ def main():
           f"wall={wall:.1f}s balance={audit['balance']:.6f}")
 
     # ---- post-process the event records -------------------------------
+    # NOTE on r_max: the TOF transform uses the GRID's own blob radius
+    # (2.5e15 cm, examples.py) for geometric self-consistency. The
+    # reference's postprocessing template pins rmax = 1e16 cm
+    # (postprocessing/mrk421_lc.input:3) — that value describes ITS
+    # (unshipped) simulation geometry, not a physics constraint; our
+    # R = 2.5e15 cm blob gives an observed variability time
+    # R/(c*D) ~ 2.5e3 s, the rapid X-ray/TeV variability Mrk 421 is
+    # known for. Both radii only enter the light-travel alignment of
+    # the light curves.
     ev_path = os.path.join(args.out, "evb.dat")
     events = np.loadtxt(ev_path)
     if events.ndim == 1:
@@ -87,28 +104,46 @@ def main():
     print(f"# {len(events)} escaping-photon records")
     r_max = sim.cfg.grid.r_max
 
-    # SED: full run, log grid over the Doppler-boosted range
+    # SED: full run, log grid over the Doppler-boosted range.
+    # evb.dat weights are already in erg (EventFileWriter applies
+    # energy_scale on write). Absolute normalization follows pspt.c's
+    # convention (F /= dt*dE*(mu1-mu0)/2, i.e. isotropic-equivalent
+    # luminosity) over the observed duration actually covered, then
+    # nuFnu at Earth = E * L_E / (4 pi d_L^2).
     e_edges = np.geomspace(1e-8, 1e11, 150)
-    s = pp.sed(events, GAMMA_BULK, r_max, 0.0, 1e30, e_edges)
+    tr = pp.doppler_transform(events, GAMMA_BULK, r_max)
+    t_obs_all = tr[:, 0]
+    mu_obs = tr[:, 3]
+    in_mu = (mu_obs >= MU_RANGE[0]) & (mu_obs <= MU_RANGE[1])
+    t_span = float(np.percentile(t_obs_all, 99.5)) or 1.0
+    s = pp.sed(events, GAMMA_BULK, r_max, 0.0, t_span, e_edges,
+               mu_range=MU_RANGE)
     e_mid = np.sqrt(e_edges[1:] * e_edges[:-1])
-    nufnu = s.nu_f_nu() * sim.scales.E
+    de = np.diff(e_edges)
+    dmu_half = 0.5 * (MU_RANGE[1] - MU_RANGE[0])
+    # isotropic-equivalent L_E [erg/s/keV] (pspt.c:318-321)
+    l_e = s.flux / (t_span * de * dmu_half)
+    nufnu_earth = e_mid * l_e / (4.0 * np.pi * D_L_CM**2)
+    nufnu = e_mid * s.flux / de   # shape-only column (legacy)
     np.savetxt(
         os.path.join(args.out, "sed.dat"),
-        np.column_stack([e_mid, nufnu, s.counts]),
-        header="E_obs[keV]  E*F(E)[erg, arbitrary norm]  n_records",
+        np.column_stack([e_mid, nufnu, s.counts, nufnu_earth]),
+        header=(
+            "E_obs[keV]  E*F(E)[erg, shape]  n_records  "
+            f"nuFnu_earth[erg/cm^2/s @ d_L={D_L_CM:.3e}cm, "
+            f"mu={MU_RANGE[0]}..{MU_RANGE[1]}]"
+        ),
         fmt="%14.6e",
     )
 
     # light curves at the reference cadence
-    tr = pp.doppler_transform(events, GAMMA_BULK, r_max)
-    t_obs = tr[:, 0]
-    t_hi = np.percentile(t_obs, 99.5)
+    t_hi = np.percentile(t_obs_all, 99.5)
     t_edges = np.arange(0.0, t_hi + T_BIN_OBS, T_BIN_OBS)
     lc = pp.light_curves(
         events, GAMMA_BULK, r_max, t_edges,
         np.asarray(MRK421_BANDS),
     )
-    rate = lc.rate().sum(axis=1) * sim.scales.E     # sum over mu bins
+    rate = lc.rate().sum(axis=1)   # erg/s, summed over mu bins
     hdr = "t_mid[s] " + " ".join(
         f"band{b}[{lo:g}-{hi:g}keV]"
         for b, (lo, hi) in enumerate(MRK421_BANDS)
@@ -127,6 +162,8 @@ def main():
     ssc_peak = float(e_mid[hi_m][np.argmax(nufnu[hi_m])]) if hi_m.any() else None
     tev = (e_mid >= 1e9) & (e_mid < 1e10)
     tev_flux = float(nufnu[tev].sum())
+    tev_records = int(s.counts[tev].sum())
+    tev_earth = float(np.max(nufnu_earth[tev])) if tev.any() else 0.0
     summary = {
         "gamma_bulk": GAMMA_BULK,
         "t_stop_comoving_s": args.t_stop,
@@ -137,6 +174,13 @@ def main():
         "sync_peak_keV_obs": sync_peak,
         "ssc_peak_keV_obs": ssc_peak,
         "tev_band_nufnu": tev_flux,
+        "tev_band_records": tev_records,
+        "tev_band_nufnu_earth": tev_earth,
+        "sync_peak_nufnu_earth": float(
+            np.max(nufnu_earth[lo_m]) if lo_m.any() else 0.0
+        ),
+        "mu_range": list(MU_RANGE),
+        "d_l_cm": D_L_CM,
         "wall_s": round(wall, 1),
         "backend": __import__("jax").default_backend(),
     }
