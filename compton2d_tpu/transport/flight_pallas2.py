@@ -643,6 +643,18 @@ def _flight_kernel_v2(
             u_acc = rnd(it, 5)
             ok = (zn >= 1e-10) & (u_acc <= xknot)
             tries = jnp.where(resolved, tries + 1, tries)
+            # Estimator choice at rejection-loop exhaustion: the LAST
+            # CANDIDATE is force-accepted (the XLA sampler instead
+            # falls back to a cold at-rest electron, scatter.py
+            # _sample_electron_and_angle init). Exhaustion probability
+            # is (1 - <p_accept>)^max_tries; <p_accept> is O(0.1-0.5)
+            # for the flux-factor x KN joint on realistic populations,
+            # so at the production max_scatter_tries = 64 the event is
+            # ~1e-3 or rarer and the bias is below MC noise — measured
+            # by tests/test_scatter.py::
+            # test_forced_acceptance_bias_below_mc_noise, which
+            # compares accepted-electron moments at max_tries=64 vs an
+            # effectively unbounded loop.
             accept = resolved & (ok | (tries >= max_tries))
             reject = resolved & ~accept
 

@@ -151,3 +151,64 @@ def test_kn_ratio_f32_matches_f64_closed_form():
     assert np.max(np.abs(got / ref - 1)) < 5e-4, np.max(
         np.abs(got / ref - 1)
     )
+
+
+def test_forced_acceptance_bias_below_mc_noise():
+    """The electron+angle rejection loop keeps a fallback draw when a
+    lane exhausts max_tries (the Pallas kernel force-accepts the last
+    candidate, flight_pallas2.py SCT_A; the XLA loop falls back to the
+    init electron). VERDICT r4 weak #7: measure the estimator bias at
+    the production max_scatter_tries=64 against an effectively
+    unbounded loop — accepted-electron moments (i_gam, wscale) must
+    agree within MC error. A power check (max_tries=1, where the
+    fallback fires on ~half the lanes) confirms the comparison would
+    detect a real bias."""
+    gnt = ed.gnt_grid(100)
+    n = 1 << 16
+    # gate-like hybrid population: thermal + bounded gamma<=30 tail,
+    # 50 keV photons -> KN acceptance well below 1 on tail draws
+    f = ed.init_f_nt(
+        jnp.asarray(gnt),
+        jnp.full((1, 1), 100.0),
+        jnp.full((1, 1), 0.5),
+        jnp.full((1, 1), 3.0),
+        jnp.full((1, 1), 30.0),
+        jnp.full((1, 1), 2.5),
+    )
+    cdf = jnp.broadcast_to(
+        ed.build_cdf(f, jnp.asarray(gnt))[0, 0], (n, gnt.shape[0])
+    )
+
+    def run(max_tries, seed):
+        res = sc.scatter(
+            jax.random.key(seed),
+            jnp.full((n,), 50.0, jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.ones((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            cdf, jnp.asarray(gnt),
+            max_tries=max_tries,
+        )
+        return (
+            np.asarray(res.i_gam, np.float64),
+            np.asarray(res.wscale, np.float64),
+        )
+
+    def zscore(a, b):
+        return abs(a.mean() - b.mean()) / np.sqrt(
+            a.var() / a.size + b.var() / b.size
+        )
+
+    ig64, w64 = run(64, 0)
+    ig_inf, w_inf = run(4096, 1)
+    z_ig = zscore(ig64, ig_inf)
+    z_w = zscore(w64, w_inf)
+    assert z_ig < 4.0, f"i_gam bias at max_tries=64: z={z_ig:.2f}"
+    assert z_w < 4.0, f"wscale bias at max_tries=64: z={z_w:.2f}"
+
+    # power check: a starved loop (max_tries=1) must show a clear
+    # fallback bias through exactly this comparison
+    ig1, _w1 = run(1, 2)
+    assert zscore(ig1, ig_inf) > 10.0, (
+        "bias comparison has no statistical power"
+    )
