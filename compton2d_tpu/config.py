@@ -245,6 +245,12 @@ class SourceConfig:
     strat_split: bool = False
     strat_gamma_c: float = 1.0e3   # tail stratum boundary [gamma]
     strat_p_max: float = 0.5       # only stratify genuinely rare tails
+    # tail-copy multiplicity per scattering event: each of the M copies
+    # samples an equal sub-stratum of the tail with weight p_tail/M —
+    # the unbiased analogue of the reference's split3 resample count
+    # (imctrk2d.f:629-661). Raises deep-KN statistics linearly in M on
+    # optically thin workloads where scatters themselves are rare.
+    strat_copies: int = 1
     external: ExternalRadiationConfig = field(
         default_factory=ExternalRadiationConfig
     )

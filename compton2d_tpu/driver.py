@@ -1057,6 +1057,7 @@ def _step_impl(
         strat_split=cfg.source.strat_split,
         strat_icut=strat_icut,
         strat_p_max=cfg.source.strat_p_max,
+        strat_copies=cfg.source.strat_copies,
         use_pallas=use_pallas,
         pallas_interpret=pallas_interp,
     )

@@ -66,6 +66,7 @@ class TrackStatics:
     strat_icut: int = 0                 # gnt index of the tail boundary
     strat_p_min: float = 1.0e-6
     strat_p_max: float = 0.5
+    strat_copies: int = 1               # tail sub-strata per scatter
     # staged-compaction schedule: full width for phase0_iters, then
     # width n/div for the paired iteration budget, remainder at the
     # narrowest width (see transport_step docstring). Off by default:
@@ -666,9 +667,16 @@ def apply_scatter(ph, tl, sct, zid, sig_s, k_scat, ctx, st):
 
     if st.strat_split:
         # stratified tail splitting (the unbiased analogue of the
-        # split2/spl3 scheme, imctrk2d.f:593-661): parent samples
-        # the electron stratum below gamma_c, a copy in a free slot
-        # samples the tail stratum with weight fraction p_tail
+        # split2/spl3 scheme, imctrk2d.f:593-661): the parent samples
+        # the electron stratum below gamma_c; M = st.strat_copies
+        # copies in free slots each sample an equal sub-stratum of the
+        # tail [c, 1) with weight fraction p_tail/M (M > 1 is the
+        # analogue of the reference's split3 resample count,
+        # imctrk2d.f:629-661 — it multiplies the deep-KN tail
+        # statistics per scattering event). Placement is
+        # all-or-nothing per scatter so strata stay contiguous and
+        # exactly unbiased when free slots run short.
+        M = max(int(st.strat_copies), 1)
         cdf_rows = _zone_rows(ctx.cdf_nt, zid, st.nz * st.nr)
         c = cdf_rows[:, st.strat_icut]
         p_tail = jnp.clip(1.0 - c, 0.0, 1.0)
@@ -681,11 +689,14 @@ def apply_scatter(ph, tl, sct, zid, sig_s, k_scat, ctx, st):
         cfree = jnp.cumsum(free.astype(jnp.int32))
         n_free = cfree[-1]
         rank = jnp.cumsum(want.astype(jnp.int32)) - 1
-        placed = want & (rank < n_free)
-        slot = jnp.searchsorted(
-            cfree, rank + 1, side="left"
-        ).astype(jnp.int32)
-        slot_w = jnp.where(placed, slot, n)
+        placed = want & ((rank + 1) * M <= n_free)
+        # index of the (r+1)-th free slot, r < n_free: a scatter of
+        # slot ids by free-rank + per-copy gathers (searchsorted over
+        # an (n,)-sized cumulative lowers to ~17 full-width gather
+        # rounds on TPU — ~20 ms/call at bench shapes)
+        slot_of_rank = jnp.zeros((n,), jnp.int32).at[
+            jnp.where(free, cfree - 1, n)
+        ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
 
         # 1/Z with Z = <sigma_KN ratio> = sig_s/(n_eff sigT L)
         inv_z = 1.0 / jnp.maximum(
@@ -698,33 +709,25 @@ def apply_scatter(ph, tl, sct, zid, sig_s, k_scat, ctx, st):
             inv_z=inv_z, max_tries=st.max_scatter_tries,
             need=sct,
         )
-        res_c = scatter_stratified(
-            jax.random.fold_in(k_scat, 1), ph.e, ph.mu,
-            ph.cphi, ph.sphi, cdf_rows, ctx.gnt,
-            u_lo=c, u_hi=jnp.ones_like(c), inv_z=inv_z,
-            max_tries=st.max_scatter_tries, need=placed,
-        )
+        # pre-scatter photon state: the tail copies scatter THIS
+        # photon, not the parent's post-scatter state
+        w_parent = ph.w
+        e_pre, mu_pre = ph.e, ph.mu
+        cphi_pre, sphi_pre = ph.cphi, ph.sphi
         w_pre_p = jnp.where(placed, ph.w * (1.0 - p_tail), ph.w)
         w_new_p = w_pre_p * res_p.wscale
-        w_pre_c = ph.w * p_tail
-        w_new_c = w_pre_c * res_c.wscale
         d_e_p = jnp.where(sct, w_new_p - w_pre_p, 0.0)
-        d_e_c = jnp.where(placed, w_new_c - w_pre_c, 0.0)
         tl = tl._replace(
             edep=(
                 tl.edep.reshape(-1)
-                + zone_accum(d_e_p + d_e_c, zid, st.nz * st.nr)
+                + zone_accum(d_e_p, zid, st.nz * st.nr)
             ).reshape(st.nz, st.nr),
             e_ic=tl.e_ic
-            + zone_accum(d_e_p, res_p.i_gam, tl.e_ic.shape[0])
-            + zone_accum(d_e_c, res_c.i_gam, tl.e_ic.shape[0]),
+            + zone_accum(d_e_p, res_p.i_gam, tl.e_ic.shape[0]),
             n_esp=tl.n_esp
             + zone_accum(jnp.where(sct, 1.0, 0.0), res_p.i_gam,
-                         tl.n_esp.shape[0])
-            + zone_accum(jnp.where(placed, 1.0, 0.0), res_c.i_gam,
                          tl.n_esp.shape[0]),
-            e_scatter=tl.e_scatter
-            + jnp.sum(d_e_p) + jnp.sum(d_e_c),
+            e_scatter=tl.e_scatter + jnp.sum(d_e_p),
         )
         ph = ph._replace(
             e=jnp.where(sct, res_p.e, ph.e),
@@ -734,23 +737,58 @@ def apply_scatter(ph, tl, sct, zid, sig_s, k_scat, ctx, st):
             sphi=jnp.where(sct, res_p.sphi, ph.sphi),
         )
 
-        def put(arr, vals):
-            return arr.at[slot_w].set(vals, mode="drop")
+        inv_m = 1.0 / jnp.float32(M)
+        for m in range(M):
+            u_lo_m = c + (1.0 - c) * (m * 1.0 / M)
+            u_hi_m = (
+                jnp.ones_like(c) if m == M - 1
+                else c + (1.0 - c) * ((m + 1.0) / M)
+            )
+            res_c = scatter_stratified(
+                jax.random.fold_in(k_scat, 1 + m), e_pre, mu_pre,
+                cphi_pre, sphi_pre, cdf_rows, ctx.gnt,
+                u_lo=u_lo_m, u_hi=u_hi_m, inv_z=inv_z,
+                max_tries=st.max_scatter_tries, need=placed,
+            )
+            w_pre_c = w_parent * p_tail * inv_m
+            w_new_c = w_pre_c * res_c.wscale
+            d_e_c = jnp.where(placed, w_new_c - w_pre_c, 0.0)
+            tl = tl._replace(
+                edep=(
+                    tl.edep.reshape(-1)
+                    + zone_accum(d_e_c, zid, st.nz * st.nr)
+                ).reshape(st.nz, st.nr),
+                e_ic=tl.e_ic
+                + zone_accum(d_e_c, res_c.i_gam, tl.e_ic.shape[0]),
+                n_esp=tl.n_esp + zone_accum(
+                    jnp.where(placed, 1.0, 0.0), res_c.i_gam,
+                    tl.n_esp.shape[0],
+                ),
+                e_scatter=tl.e_scatter + jnp.sum(d_e_c),
+            )
+            slot_w = jnp.where(
+                placed,
+                slot_of_rank[jnp.clip(rank * M + m, 0, n - 1)],
+                n,
+            )
 
-        ph = ph._replace(
-            e=put(ph.e, res_c.e),
-            w=put(ph.w, w_new_c),
-            w0=put(ph.w0, jnp.maximum(w_new_c, 1e-30)),
-            r=put(ph.r, ph.r),
-            z=put(ph.z, ph.z),
-            mu=put(ph.mu, res_c.mu),
-            cphi=put(ph.cphi, res_c.cphi),
-            sphi=put(ph.sphi, res_c.sphi),
-            dcen=put(ph.dcen, ph.dcen),
-            jz=put(ph.jz, ph.jz),
-            kr=put(ph.kr, ph.kr),
-            alive=put(ph.alive, placed),
-        )
+            def put(arr, vals):
+                return arr.at[slot_w].set(vals, mode="drop")
+
+            ph = ph._replace(
+                e=put(ph.e, res_c.e),
+                w=put(ph.w, w_new_c),
+                w0=put(ph.w0, jnp.maximum(w_new_c, 1e-30)),
+                r=put(ph.r, ph.r),
+                z=put(ph.z, ph.z),
+                mu=put(ph.mu, res_c.mu),
+                cphi=put(ph.cphi, res_c.cphi),
+                sphi=put(ph.sphi, res_c.sphi),
+                dcen=put(ph.dcen, ph.dcen),
+                jz=put(ph.jz, ph.jz),
+                kr=put(ph.kr, ph.kr),
+                alive=put(ph.alive, placed),
+            )
         return ph, tl
 
     cdf_rows = _zone_rows(ctx.cdf_nt, zid, st.nz * st.nr)

@@ -175,3 +175,67 @@ def test_end_to_end_tail_coverage():
     tail_off = run(False)
     tail_on = run(True)
     assert tail_on > 2 * max(tail_off, 1), (tail_on, tail_off)
+
+
+def test_strat_copies_unbiased_and_multiplies_tail():
+    """strat_copies = M > 1 (the split3-analogue tail multiplicity,
+    imctrk2d.f:629-661): each of M copies samples an equal sub-stratum
+    of the tail with weight p_tail/M. The estimator must stay exact
+    (audit ~ 1, energy totals consistent with M = 1 within MC noise)
+    while the number of distinct tail samples rises with M."""
+    from compton2d_tpu.config import (
+        GridConfig, PhysicsConfig, RunConfig, SimConfig, SourceConfig,
+        TimeWindow, ZoneInit,
+    )
+    from compton2d_tpu.driver import Simulation
+
+    nz, nr = 2, 2
+    grid = GridConfig(
+        nz=nz, nr=nr, z_max=1e15, r_max=1e15,
+        num_nt=120, n_vol=48, nphfield=48, n_gg=16, n_ref=50, nmu=4,
+        spectral_regions=((1e-4, 1e-1, 10), (1e-1, 1e7, 30)),
+        lc_bands=((2.0, 10.0),),
+    )
+    win = TimeWindow(
+        t0=0.0, t1=1e30, tbb_lower=(0.5,) * nr, tbb_upper=(0.0,) * nr,
+        tbb_inner=(0.0,) * nz, tbb_outer=(0.0,) * nz,
+    )
+
+    def run(copies, seed=0):
+        cfg = SimConfig(
+            grid=grid, physics=PhysicsConfig(t_const=True),
+            source=SourceConfig(
+                nst=1000, strat_split=True, strat_gamma_c=1e3,
+                strat_copies=copies,
+            ),
+            run=RunConfig(seed=seed, n_slots=16384,
+                          event_capacity=16384, max_flight_iters=256),
+            windows=(win,),
+        )
+        zi = ZoneInit.uniform(
+            grid, tea=50.0, tna=50.0, n_e=1e9, B_field=1.0,
+            amxwl=0.999, gmin=1e2, gmax=1e4, p_nth=2.4,
+        )
+        sim = Simulation(cfg, zi)
+        n_tail, e_esc = 0, 0.0
+        for _ in range(3):
+            out = sim.step()
+            a = sim.energy_audit()
+            assert np.isclose(a["balance"], 1.0, atol=5e-3), a
+            ph = sim.state.photons
+            n_tail += int(jnp.sum(ph.alive & (ph.e > 1e4)))
+            e_esc += a["escaped"]
+        return n_tail, e_esc, a["census"]
+
+    tail1, esc1, cen1 = run(1)
+    tail4, esc4, cen4 = run(4)
+    # tail statistics scale with M (within the all-or-nothing
+    # placement's slot budget)
+    assert tail4 > 2 * max(tail1, 1), (tail4, tail1)
+    # energy totals unbiased: PAIRED same-seed comparison (the parent
+    # stream is shared, so M only redistributes the tail-copy
+    # estimator; a cross-seed comparison would be jackpot-dominated —
+    # measured seed-to-seed spread of escaped energy is ~30x in this
+    # config while the paired M=1-vs-4 difference is ~3%)
+    assert np.isclose(esc4, esc1, rtol=0.15), (esc4, esc1)
+    assert np.isclose(cen4, cen1, rtol=0.15), (cen4, cen1)

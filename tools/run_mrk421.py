@@ -59,6 +59,9 @@ def main():
     # (observed 1e9 keV needs comoving E ~ 1e9/D ~ 3e7 keV, i.e. the
     # KN limit of gamma ~ 6e4 electrons)
     ap.add_argument("--strat-gamma-c", type=float, default=1.0e3)
+    # tail copies per scatter (split3 analogue): >1 multiplies deep-KN
+    # statistics on the optically thin blob where scatters are rare
+    ap.add_argument("--strat-copies", type=int, default=1)
     ap.add_argument("--n-e", type=float, default=20.0)
     args = ap.parse_args()
 
@@ -75,6 +78,7 @@ def main():
         source=dataclasses.replace(
             sim.cfg.source, strat_split=args.strat,
             strat_gamma_c=args.strat_gamma_c,
+            strat_copies=args.strat_copies,
         ),
     )
     sim = sim.with_config(cfg)
