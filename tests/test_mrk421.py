@@ -52,12 +52,12 @@ def test_mrk421_committed_artifact_sanity():
     - thin canonical blob: observed synchrotron peak in the 0.05-50 keV
       band (Mrk 421's sync peak is ~0.1-1 keV);
     - dense SSC-resolved variant: an inverse-Compton branch peaking
-      above 1 GeV observed with positive flux above 10 MeV. (A
-      positive TeV-band flux is NOT asserted: at these parameters the
-      KN-suppressed TeV tail needs ~1e9 histories even with splitting;
-      the round-3 'TeV records' on this workload turned out to be the
-      degenerate-emission-CDF bug's grid-top garbage photons, fixed in
-      round 4 — see artifacts/README.md.)
+      above 1 GeV observed, positive flux above 10 MeV, AND a
+      populated TeV band — positive nuFnu in the reference's band 7
+      (1e9-1e10 keV observed, postprocessing/mrk421_lc.input) with
+      >= 20 TeV-band event records over all angles (VERDICT r5 task 3;
+      produced with strat_gamma_c = 3e4 + strat_copies = 64, the
+      split3-analogue tail multiplicity).
     """
     import json
     import os
@@ -74,8 +74,46 @@ def test_mrk421_committed_artifact_sanity():
     assert dense["balance"] == pytest.approx(1.0, abs=5e-3)
     assert dense["ssc_peak_keV_obs"] is not None
     assert dense["ssc_peak_keV_obs"] > 1.0e6       # above 1 GeV observed
+    # TeV band populated (band 7 of the reference workload)
+    assert dense["tev_band_nufnu"] > 0.0
+    assert dense["tev_band_nufnu_earth"] > 0.0
+    assert dense["tev_band_records_all_mu"] >= 20
     sed = np.loadtxt(os.path.join(root, "mrk421_dense", "sed.dat"))
     e_mid, nufnu = sed[:, 0], sed[:, 1]
     assert nufnu[(e_mid > 1.0e4)].sum() > 0.0       # flux above 10 MeV
     # both branches present: a low-energy peak below 1 MeV too
     assert nufnu[(e_mid < 1.0e3)].max() > 0.0
+
+
+def test_mrk421_obs_compare_artifact():
+    """The committed observational comparison (tools/obs_compare.py
+    against /root/reference/data/observations — the reference's
+    de-facto acceptance data, SURVEY.md par.4) must be internally
+    consistent and record the quantitative statements this framework
+    actually achieves:
+
+    - the canonical blob's observed synchrotron peak falls in the
+      decade the loaded Mrk 421 X-ray data constrain (0.01-10 keV);
+    - the absolute X-ray nuFnu level matches the observations up to
+      the ONE recorded global renormalization (a blob filling/activity
+      factor): |log10 model/obs| <= 2.5 dex for both committed
+      variants, with the applied renorm recorded in the artifact.
+    """
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+    for variant in ("mrk421", "mrk421_dense"):
+        path = os.path.join(root, variant, "obs_compare.json")
+        with open(path) as fh:
+            oc = json.load(fh)
+        assert oc["sync_peak_in_obs_decade"] is True, (variant, oc)
+        med = oc["xray_log10_model_over_obs_median"]
+        assert med is not None and abs(med) <= 2.5, (variant, med)
+        assert oc["global_renorm_log10"] == pytest.approx(-med)
+        # the overlay table exists and mixes model + observed rows
+        dat = os.path.join(root, variant, "obs_compare.dat")
+        with open(dat) as fh:
+            lines = fh.readlines()
+        assert any(" 0 model" in ln for ln in lines)
+        assert any(" 1 " in ln and "model" not in ln for ln in lines)
