@@ -882,6 +882,26 @@ def _step_impl(
         e_rr = jnp.zeros((), jnp.float32)
         n_rr = jnp.zeros((), jnp.int32)
 
+    # ---- 1c. zone-coherence sort (windowed-kernel grids) ------------
+    # grids beyond the kernel's VMEM zone cap use the windowed-table
+    # kernel (flight_pallas2.WIN_Z), which needs zone-coherent tiles:
+    # counting-sort the census by zone bucket (dead slots to the back,
+    # so the emission below fills the tail in zone-category order)
+    from compton2d_tpu.transport import flight_pallas2 as _fpk0
+
+    _n_local = run.n_slots // max(n_devices, 1)
+    windowed_kernel = (
+        nz * nr > _fpk0.MAX_ZONES
+        and nz <= _fpk0.MAX_EDGE
+        and nr <= _fpk0.MAX_EDGE
+        and _n_local % _fpk0.TILE == 0
+        and run.pallas_tracking != "off"
+    )
+    if windowed_kernel:
+        from compton2d_tpu.transport.population import zone_sort
+
+        photons = zone_sort(photons, nz, nr, _fpk0.WIN_Z)
+
     # ---- 1b. pair physics from the previous census field ------------
     # (imcgen2d.f:354-396: normalize n_ph, smooth, kgg_calc, pairprod)
     if phys.pair_switch and pair_tables is not None:
@@ -902,7 +922,15 @@ def _step_impl(
         )
         from compton2d_tpu.transport.tracking import hist2d_accum
 
-        nph_scaled = psum(hist2d_accum(cnts, zid, nz * nr, gbin, ngg))
+        # recompute zone ids here: the zone-coherence sort above may
+        # have permuted the slots since section 0's zid
+        zid_now = (
+            jnp.clip(photons.jz, 0, nz - 1) * nr
+            + jnp.clip(photons.kr, 0, nr - 1)
+        )
+        nph_scaled = psum(
+            hist2d_accum(cnts, zid_now, nz * nr, gbin, ngg)
+        )
         de_gg = jnp.concatenate(
             [jnp.diff(egg32), jnp.ones((1,), jnp.float32)]
         )

@@ -76,6 +76,16 @@ SUB = 8
 LANE = 128
 TILE = SUB * LANE
 
+# windowed-table mode (grids beyond MAX_ZONES, up to 127x127 = the
+# reference's 99x99 ceiling): tables stay in HBM; each tile gets a
+# 2*WIN_Z-zone window (two WIN_Z-aligned blocks, prefetch-indexed by
+# the tile's min zone) pipelined into VMEM by Pallas and copied to one
+# contiguous scratch, so every sweep runs on window-local zone ids.
+# Lanes that walk outside their tile's window freeze with FLAG_WINDOW
+# and resume next outer round under a recomputed window. Zone-sorted
+# slots (driver zone_sort prepass) keep tile spreads within a window.
+WIN_Z = 128
+
 K_LOG = 8         # per-lane scatter-event log depth
 SCAN_S = 4        # CDF bins counted per SCT_A iteration
 GUIDE_G = 512     # electron-CDF guide cells
@@ -84,6 +94,8 @@ GUIDE_G = 512     # electron-CDF guide cells
 FLAG_NONE = 0
 FLAG_SCATTER = 1  # only when inline_scatter=False (strat-split mode)
 FLAG_LEAK = 2
+FLAG_WINDOW = 3   # windowed mode: lane walked out of the tile's
+                  # table window; retried next outer round
 
 # per-lane scatter-machine modes
 MODE_FLY = 0
@@ -223,10 +235,32 @@ def build_kernel_tables(
     gnt: jnp.ndarray,         # (num_nt,) gamma-1 grid
     r_edges, z_edges,
     e_ph_log0, e_ph_dlog, e_gg_log0, e_gg_dlog,
+    win_z: int = 0,
 ) -> Tuple[KernelTables, KernelDims]:
     """Repack the per-step zone tables into the kernel layout (cheap
-    XLA pads/reshapes, once per step)."""
+    XLA pads/reshapes, once per step). ``win_z > 0`` (windowed-table
+    mode) pads the zone axis to a multiple of win_z PLUS one extra
+    window so block index base+1 is always valid."""
     nzr, n_vol = opac_zone.shape[0], opac_zone.shape[1]
+    if win_z:
+        nz_pad = (_cdiv(nzr, win_z) + 1) * win_z
+
+        def zpad(x):
+            return jnp.pad(x, [(0, nz_pad - nzr)] + [(0, 0)] * (x.ndim - 1))
+
+        opac_zone = zpad(opac_zone)
+        kgg_zone = zpad(kgg_zone)
+        # pad CDF rows with 2.0 so padded zones never count (cdf < u)
+        cdf_nt = jnp.concatenate(
+            [
+                cdf_nt,
+                jnp.full(
+                    (nz_pad - nzr, cdf_nt.shape[1]), 2.0, cdf_nt.dtype
+                ),
+            ],
+            axis=0,
+        )
+        nzr = nz_pad
     n_gg = kgg_zone.shape[1]
     num_nt = cdf_nt.shape[1]
     cg_ph = _cdiv(n_vol, LANE)
@@ -313,33 +347,66 @@ def build_kernel_tables(
 def _flight_kernel_v2(
     # scalar prefetch
     seed_ref,                  # (n_tiles,) int32
-    # VMEM tensor inputs (per tile)
-    e_ref, w_ref, w0_ref, r_ref, z_ref, mu_ref, cphi_ref, sphi_ref,
-    dcen_ref, jz_ref, kr_ref, alive_ref,
-    # shared tables (full-array blocks, cached across grid steps)
-    opac_ref, cdf_ref, guide_ref, gm1_ref, redges_ref, zedges_ref,
-    # SMEM
-    scal_ref,                  # (1, 8) f32
-    # outputs (per tile unless noted)
-    e_o, w_o, r_o, z_o, mu_o, cphi_o, sphi_o, dcen_o,
-    jz_o, kr_o, alive_o, mode_o, flag_o, jn_o, kn_o,
-    it_o, ekill_o, esct_o, epair_o, cnt_o,
-    tally_o,                   # (2, nzr8, 128) SHARED revisited block
-    iglog_o,                   # (K_LOG, SUB, LANE) i32
-    delog_o,                   # (K_LOG, SUB, LANE) f32
-    # scratch
-    ed_scr, pr_scr,            # (nzr8, 128) f32
-    *,
+    *refs,
     dims: KernelDims, nz: int, nr: int, pair_switch: bool,
     inline_scatter: bool, weight_floor: float, max_iters: int,
-    max_tries: int, interpret: bool = False,
+    max_tries: int, interpret: bool = False, win_z: int = 0,
 ):
+    """``win_z == 0``: tables are full shared VMEM blocks (refs =
+    in..., out..., ed_scr, pr_scr). ``win_z > 0`` (windowed mode):
+    a second prefetch array carries the per-tile window block index;
+    each table arrives as TWO win_z-zone blocks (base, base+1) that
+    are copied into one contiguous scratch, and all zone addressing
+    inside the loop becomes window-local. Out-of-window lanes freeze
+    with FLAG_WINDOW. The per-zone tally is a per-tile window block
+    recombined by the caller."""
+    if win_z:
+        (base_ref,
+         e_ref, w_ref, w0_ref, r_ref, z_ref, mu_ref, cphi_ref,
+         sphi_ref, dcen_ref, jz_ref, kr_ref, alive_ref,
+         opac_a, opac_b, cdf_a, cdf_b, guide_a, guide_b,
+         gm1_ref, redges_ref, zedges_ref, scal_ref,
+         e_o, w_o, r_o, z_o, mu_o, cphi_o, sphi_o, dcen_o,
+         jz_o, kr_o, alive_o, mode_o, flag_o, jn_o, kn_o,
+         it_o, ekill_o, esct_o, epair_o, cnt_o,
+         tally_o, iglog_o, delog_o,
+         opac_w, cdf_w, guide_w, ed_scr, pr_scr) = refs
+    else:
+        (e_ref, w_ref, w0_ref, r_ref, z_ref, mu_ref, cphi_ref,
+         sphi_ref, dcen_ref, jz_ref, kr_ref, alive_ref,
+         opac_ref, cdf_ref, guide_ref, gm1_ref, redges_ref,
+         zedges_ref, scal_ref,
+         e_o, w_o, r_o, z_o, mu_o, cphi_o, sphi_o, dcen_o,
+         jz_o, kr_o, alive_o, mode_o, flag_o, jn_o, kn_o,
+         it_o, ekill_o, esct_o, epair_o, cnt_o,
+         tally_o, iglog_o, delog_o,
+         ed_scr, pr_scr) = refs
     my_seed = seed_ref[pl.program_id(0)]
     if not interpret:
         pltpu.prng_seed(my_seed)
     f32 = jnp.float32
     i32 = jnp.int32
     nzr8 = ed_scr.shape[0]
+
+    if win_z:
+        # contiguous 2*win_z-zone window: sweeps/lookups then use
+        # window-local zone ids against these scratches (VMEM->VMEM
+        # copies, ~us per tile)
+        half_o = opac_a.shape[0]
+        opac_w[pl.ds(0, half_o), :] = opac_a[...]
+        opac_w[pl.ds(half_o, half_o), :] = opac_b[...]
+        half_c = cdf_a.shape[0]
+        cdf_w[pl.ds(0, half_c), :] = cdf_a[...]
+        cdf_w[pl.ds(half_c, half_c), :] = cdf_b[...]
+        half_g = guide_a.shape[0]
+        guide_w[pl.ds(0, half_g), :] = guide_a[...]
+        guide_w[pl.ds(half_g, half_g), :] = guide_b[...]
+        opac_ref, cdf_ref, guide_ref = opac_w, cdf_w, guide_w
+        win0_z = base_ref[pl.program_id(0)] * win_z
+        nzr_dom = 2 * win_z
+    else:
+        win0_z = None
+        nzr_dom = dims.nzr
 
     ed_scr[...] = jnp.zeros((nzr8, LANE), f32)
     pr_scr[...] = jnp.zeros((nzr8, LANE), f32)
@@ -367,13 +434,22 @@ def _flight_kernel_v2(
         w0 = w0_ref[0]
         live = (alive == 1) & (flag == FLAG_NONE)
         fly = live & (mode == MODE_FLY) & (dcen > 0.0)
+        zid = jz * nr + kr
+        if win_z:
+            # window-local zone id; lanes that walked out of the
+            # tile's 2*win_z window freeze and retry next round
+            lz = zid - win0_z
+            oow = fly & ((lz < 0) | (lz >= 2 * win_z))
+            flag = jnp.where(oow, FLAG_WINDOW, flag)
+            live = live & ~oow
+            fly = fly & ~oow
+            zid = jnp.clip(lz, 0, 2 * win_z - 1)
         in_a = live & (mode == MODE_SCT_A)
         in_b = live & (mode == MODE_SCT_B)
         any_live = fly | in_a | in_b
-        zid = jz * nr + kr
 
         # active-zone chunk bounds for the table sweeps
-        z_min = jnp.min(jnp.where(any_live, zid, dims.nzr - 1))
+        z_min = jnp.min(jnp.where(any_live, zid, nzr_dom - 1))
         z_max = jnp.max(jnp.where(any_live, zid, 0))
         z_max = jnp.maximum(z_max, z_min)
 
@@ -837,22 +913,28 @@ def _flight_kernel_v2(
     epair_o[0] = epair
     cnt_o[0] = sct_cnt
 
-    # shared per-zone tally block: zero on the first tile, accumulate
-    # on every tile (the revisited-output accumulation idiom)
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        tally_o[0] = jnp.zeros((nzr8, LANE), f32)
-        tally_o[1] = jnp.zeros((nzr8, LANE), f32)
+    if win_z:
+        # per-tile window tally block (recombined by the caller with
+        # the per-tile bases)
+        tally_o[0, 0] = ed_scr[...]
+        tally_o[0, 1] = pr_scr[...]
+    else:
+        # shared per-zone tally block: zero on the first tile,
+        # accumulate on every tile (revisited-output accumulation)
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            tally_o[0] = jnp.zeros((nzr8, LANE), f32)
+            tally_o[1] = jnp.zeros((nzr8, LANE), f32)
 
-    tally_o[0] = tally_o[0] + ed_scr[...]
-    tally_o[1] = tally_o[1] + pr_scr[...]
+        tally_o[0] = tally_o[0] + ed_scr[...]
+        tally_o[1] = tally_o[1] + pr_scr[...]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "nz", "nr", "pair_switch", "inline_scatter", "weight_floor",
-        "max_iters", "max_tries", "interpret", "dims",
+        "max_iters", "max_tries", "interpret", "dims", "win_z",
     ),
 )
 def flight_step_v2(
@@ -861,17 +943,28 @@ def flight_step_v2(
     *,
     dims: KernelDims, nz: int, nr: int, pair_switch: bool,
     inline_scatter: bool, weight_floor: float, max_iters: int,
-    max_tries: int, interpret: bool = False,
+    max_tries: int, interpret: bool = False, win_z: int = 0,
 ):
     """One kernel entry over all photon tiles. Returns
     (soa..., mode, flag, jn, kn, it_used, ekill, esct, epair,
-    sct_cnt, tally(2, nzr), iglog(n, K), delog(n, K))."""
+    sct_cnt, tally(2, nzr), iglog(n, K), delog(n, K)).
+
+    ``win_z > 0``: windowed-table mode for grids beyond MAX_ZONES —
+    tables must have been built with ``build_kernel_tables(...,
+    win_z=win_z)`` (zone axis padded to blocks); each tile sees the
+    two win_z-zone blocks around its min active zone (prefetch-indexed
+    BlockSpecs, pipelined by Pallas), lanes leaving the window freeze
+    with FLAG_WINDOW for the next outer round."""
     n = e.shape[0]
     assert n % TILE == 0, f"n_slots={n} must be a multiple of {TILE}"
     n_tiles = n // TILE
-    nzr = dims.nzr
-    assert nzr <= MAX_ZONES and nz <= MAX_EDGE and nr <= MAX_EDGE
-    nzr8 = _cdiv(nzr, 8) * 8
+    nzr = nz * nr
+    if win_z:
+        assert nz <= MAX_EDGE and nr <= MAX_EDGE
+        assert win_z % 8 == 0
+    else:
+        assert nzr <= MAX_ZONES and nz <= MAX_EDGE and nr <= MAX_EDGE
+    nzr8 = _cdiv(dims.nzr, 8) * 8
 
     def tile(a, dt):
         return a.astype(dt).reshape(n_tiles, SUB, LANE)
@@ -899,71 +992,169 @@ def flight_step_v2(
         (1, K_LOG, SUB, LANE), lambda i, *_: (i, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    tallyspec = pl.BlockSpec(
-        (2, nzr8, LANE), lambda i, *_: (0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-
-    out_shape = (
-        [jax.ShapeDtypeStruct((n_tiles, SUB, LANE), jnp.float32)] * 8
-        + [jax.ShapeDtypeStruct((n_tiles, SUB, LANE), jnp.int32)] * 7
-        + [jax.ShapeDtypeStruct((n_tiles, SUB, LANE), jnp.int32)]   # it
-        + [jax.ShapeDtypeStruct((n_tiles, SUB, LANE), jnp.float32)] * 3
-        + [jax.ShapeDtypeStruct((n_tiles, SUB, LANE), jnp.int32)]   # cnt
-        + [jax.ShapeDtypeStruct((2, nzr8, LANE), jnp.float32)]
-        + [jax.ShapeDtypeStruct((n_tiles, K_LOG, SUB, LANE), jnp.int32)]
-        + [jax.ShapeDtypeStruct(
-            (n_tiles, K_LOG, SUB, LANE), jnp.float32
-        )]
-    )
-    out_specs = (
-        [vspec] * 16 + [vspec] * 3 + [vspec]
-        + [tallyspec, logspec, logspec]
-    )
 
     kern = functools.partial(
         _flight_kernel_v2,
         dims=dims, nz=nz, nr=nr, pair_switch=pair_switch,
         inline_scatter=inline_scatter, weight_floor=weight_floor,
         max_iters=max_iters, max_tries=max_tries, interpret=interpret,
+        win_z=win_z,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=(
+
+    soa_out_shape = (
+        [jax.ShapeDtypeStruct((n_tiles, SUB, LANE), jnp.float32)] * 8
+        + [jax.ShapeDtypeStruct((n_tiles, SUB, LANE), jnp.int32)] * 7
+        + [jax.ShapeDtypeStruct((n_tiles, SUB, LANE), jnp.int32)]   # it
+        + [jax.ShapeDtypeStruct((n_tiles, SUB, LANE), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((n_tiles, SUB, LANE), jnp.int32)]   # cnt
+    )
+    log_shape = [
+        jax.ShapeDtypeStruct((n_tiles, K_LOG, SUB, LANE), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles, K_LOG, SUB, LANE), jnp.float32),
+    ]
+
+    if win_z:
+        tw = 2 * win_z
+        # per-tile base block index: min active zone of the tile
+        zid_all = (
+            jnp.clip(jz, 0, nz - 1) * nr + jnp.clip(kr, 0, nr - 1)
+        ).reshape(n_tiles, TILE)
+        act = (alive & (dcen > 0.0)).reshape(n_tiles, TILE)
+        zmin_t = jnp.min(
+            jnp.where(act, zid_all, nzr - 1), axis=1
+        )
+        n_blocks = tables.opac_t.shape[0] // (win_z * dims.rpz)
+        base_blk = jnp.clip(zmin_t // win_z, 0, n_blocks - 2).astype(
+            jnp.int32
+        )
+
+        def winspec(rows_per_zone, off):
+            return pl.BlockSpec(
+                (win_z * rows_per_zone, LANE),
+                lambda i, seed_ref, base_ref, _o=off: (
+                    base_ref[i] + _o, 0
+                ),
+                memory_space=pltpu.VMEM,
+            )
+
+        in_specs = (
             [vspec] * 12
             + [
-                shared(tables.opac_t.shape),
-                shared(tables.cdf_t.shape),
-                shared(tables.guide_t.shape),
+                winspec(dims.rpz, 0), winspec(dims.rpz, 1),
+                winspec(dims.cg_nt, 0), winspec(dims.cg_nt, 1),
+                winspec(dims.cg_gd, 0), winspec(dims.cg_gd, 1),
                 shared(tables.gm1_t.shape),
                 shared((SUB, LANE)),
                 shared((SUB, LANE)),
                 smem,
             ]
-        ),
-        out_specs=tuple(out_specs),
-        scratch_shapes=[
-            pltpu.VMEM((nzr8, LANE), jnp.float32),
-            pltpu.VMEM((nzr8, LANE), jnp.float32),
-        ],
-    )
-    outs = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=tuple(out_shape),
-        interpret=interpret,
-    )(
-        seeds, *f_in, *i_in,
-        tables.opac_t, tables.cdf_t, tables.guide_t, tables.gm1_t,
-        tables.redges_t, tables.zedges_t, tables.scal,
-    )
+        )
+        tallyspec = pl.BlockSpec(
+            (1, 2, tw, LANE), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = tuple(
+            soa_out_shape
+            + [jax.ShapeDtypeStruct((n_tiles, 2, tw, LANE), jnp.float32)]
+            + log_shape
+        )
+        out_specs = tuple(
+            [vspec] * 20 + [tallyspec, logspec, logspec]
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((tw * dims.rpz, LANE), jnp.float32),
+                pltpu.VMEM((tw * dims.cg_nt, LANE), jnp.float32),
+                pltpu.VMEM((tw * dims.cg_gd, LANE), jnp.int32),
+                pltpu.VMEM((tw, LANE), jnp.float32),
+                pltpu.VMEM((tw, LANE), jnp.float32),
+            ],
+        )
+        outs = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(
+            seeds, base_blk, *f_in, *i_in,
+            tables.opac_t, tables.opac_t,
+            tables.cdf_t, tables.cdf_t,
+            tables.guide_t, tables.guide_t,
+            tables.gm1_t, tables.redges_t, tables.zedges_t,
+            tables.scal,
+        )
+    else:
+        tallyspec = pl.BlockSpec(
+            (2, nzr8, LANE), lambda i, *_: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = tuple(
+            soa_out_shape
+            + [jax.ShapeDtypeStruct((2, nzr8, LANE), jnp.float32)]
+            + log_shape
+        )
+        out_specs = tuple(
+            [vspec] * 20 + [tallyspec, logspec, logspec]
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=(
+                [vspec] * 12
+                + [
+                    shared(tables.opac_t.shape),
+                    shared(tables.cdf_t.shape),
+                    shared(tables.guide_t.shape),
+                    shared(tables.gm1_t.shape),
+                    shared((SUB, LANE)),
+                    shared((SUB, LANE)),
+                    smem,
+                ]
+            ),
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((nzr8, LANE), jnp.float32),
+                pltpu.VMEM((nzr8, LANE), jnp.float32),
+            ],
+        )
+        outs = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(
+            seeds, *f_in, *i_in,
+            tables.opac_t, tables.cdf_t, tables.guide_t, tables.gm1_t,
+            tables.redges_t, tables.zedges_t, tables.scal,
+        )
     (e_n, w_n, r_n, z_n, mu_n, cphi_n, sphi_n, dcen_n,
      jz_n, kr_n, alive_n, mode_n, flag, jn, kn, it_used,
      ekill, esct, epair, cnt, tally, iglog, delog) = outs
     flat = lambda a: a.reshape(n)
-    # tally: sum lanes of the shared (2, nzr8, 128) block -> (2, nzr)
-    tall = jnp.sum(tally, axis=-1)[:, :nzr]
+    if win_z:
+        # recombine per-tile window tallies by their bases
+        tw = 2 * win_z
+        tally_z = jnp.sum(tally, axis=-1)       # (n_tiles, 2, tw)
+        nz_tot = (
+            tables.opac_t.shape[0] // dims.rpz
+        ) + win_z
+        loc = (
+            base_blk[:, None] * win_z
+            + jnp.arange(tw, dtype=jnp.int32)[None, :]
+        )                                        # (n_tiles, tw)
+        tall = jnp.zeros((2, nz_tot), jnp.float32)
+        for ch in range(2):
+            tall = tall.at[ch, loc.reshape(-1)].add(
+                tally_z[:, ch, :].reshape(-1), mode="drop"
+            )
+        tall = tall[:, :nzr]
+    else:
+        # tally: sum lanes of the shared (2, nzr8, 128) block
+        tall = jnp.sum(tally, axis=-1)[:, :nzr]
     return (
         flat(e_n), flat(w_n), flat(r_n), flat(z_n), flat(mu_n),
         flat(cphi_n), flat(sphi_n), flat(dcen_n), flat(jz_n),

@@ -523,10 +523,17 @@ def _transport_step_pallas(
     # [min(zid), max(zid)] of each tile. A cheap clustering (emission
     # already fills free slots in zone order) is the open lever for
     # very large grids.
+    # windowed-table mode for grids beyond the VMEM zone cap (the
+    # reference's 99x99 ceiling, general.pa:10-12): tables stay
+    # zone-blocked, each tile reads a 2*WIN_Z-zone window (see
+    # flight_pallas2 module docstring). Requires the driver's
+    # zone-sort prepass for tile zone-coherence.
+    win_z = 0 if nzr <= fp2.MAX_ZONES else fp2.WIN_Z
     ktab, dims = fp2.build_kernel_tables(
         ctx.opac_zone, ctx.kgg_zone, ctx.cdf_nt, ctx.gnt,
         ctx.r_edges, ctx.z_edges,
         ctx.e_ph_log0, ctx.e_ph_dlog, ctx.e_gg_log0, ctx.e_gg_dlog,
+        win_z=win_z,
     )
 
     def geom_dummy(jn, kn, ph):
@@ -556,6 +563,7 @@ def _transport_step_pallas(
             max_iters=int(st.max_iters),
             max_tries=int(st.max_scatter_tries),
             interpret=bool(st.pallas_interpret),
+            win_z=win_z,
         )
         ph = ph._replace(
             e=e, w=w, r=r, z=z, mu=mu, cphi=cphi, sphi=sphi,

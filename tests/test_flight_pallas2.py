@@ -327,3 +327,46 @@ def test_v2_kernel_composes_with_photon_mesh():
     for _ in range(2):
         sim.step()
     assert abs(sim.energy_audit()["balance"] - 1.0) < 2e-3
+
+
+def test_v2_windowed_tables_large_grid_interpret():
+    """Windowed-table mode (grids beyond MAX_ZONES, flight_pallas2
+    WIN_Z): a 40x30 = 1200-zone grid forces win_z > 0 — per-tile
+    2*WIN_Z-zone table windows, the FLAG_WINDOW freeze/retry path, the
+    per-tile tally recombination, and the driver's zone-sort prepass
+    all run in interpret mode and must agree with the XLA loop within
+    MC tolerances at an exact audit."""
+    import dataclasses
+
+    from compton2d_tpu.examples import small_corona
+    from compton2d_tpu.transport import flight_pallas2 as fp2
+
+    def run(pallas):
+        sim = small_corona(
+            nz=40, nr=30, nst=3000, n_slots=8192, num_nt=40, n_vol=32,
+            nphfield=32, max_flight_iters=64, seed=4,
+        )
+        assert sim.cfg.grid.nz * sim.cfg.grid.nr > fp2.MAX_ZONES
+        cfg = dataclasses.replace(
+            sim.cfg,
+            run=dataclasses.replace(sim.cfg.run, pallas_tracking=pallas),
+        )
+        sim = sim.with_config(cfg)
+        for _ in range(2):
+            sim.step()
+        return sim.energy_audit(), sim.state
+
+    a_p, s_p = run("on")
+    a_x, s_x = run("off")
+    assert abs(a_p["balance"] - 1.0) < 2e-3, a_p
+    assert abs(a_x["balance"] - 1.0) < 2e-3, a_x
+    for q in ("escaped", "census"):
+        ref = max(abs(a_x[q]), 1e-300)
+        assert abs(a_p[q] - a_x[q]) / ref < 0.6, (q, a_p[q], a_x[q])
+    # zone temperatures relax consistently (field-driven cooling)
+    import numpy as np
+
+    te_p = np.asarray(s_p.zones.tea)
+    te_x = np.asarray(s_x.zones.tea)
+    assert np.all(np.isfinite(te_p))
+    assert abs(np.mean(te_p) - np.mean(te_x)) / np.mean(te_x) < 0.1

@@ -168,6 +168,11 @@ def main():
     tev_flux = float(nufnu[tev].sum())
     tev_records = int(s.counts[tev].sum())
     tev_earth = float(np.max(nufnu_earth[tev])) if tev.any() else 0.0
+    # all-angle TeV statistics (the observer cone is only ~11% of the
+    # comoving sphere; the all-mu count is the robust record statistic)
+    e_all = tr[:, 1]
+    tev_all = int(np.sum((e_all >= 1e9) & (e_all < 1e10)))
+    gev100_all = int(np.sum(e_all >= 1e8))
     summary = {
         "gamma_bulk": GAMMA_BULK,
         "t_stop_comoving_s": args.t_stop,
@@ -179,7 +184,11 @@ def main():
         "ssc_peak_keV_obs": ssc_peak,
         "tev_band_nufnu": tev_flux,
         "tev_band_records": tev_records,
+        "tev_band_records_all_mu": tev_all,
+        "gev100_records_all_mu": gev100_all,
         "tev_band_nufnu_earth": tev_earth,
+        "strat_gamma_c": args.strat_gamma_c,
+        "strat_copies": args.strat_copies,
         "sync_peak_nufnu_earth": float(
             np.max(nufnu_earth[lo_m]) if lo_m.any() else 0.0
         ),
