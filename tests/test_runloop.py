@@ -105,3 +105,56 @@ def test_adaptive_dt_grows_when_quiet():
     assert np.isclose(sim._host_dt, dt2, rtol=0, atol=0)
     # time advanced consistently with the varying dt
     assert np.isclose(sim._host_time, float(sim.state.time), rtol=1e-6)
+
+
+def test_adaptive_dt_zone_shard_consistent():
+    """Adaptive dt under zone-sharded FP (advisor r4 medium): the dt
+    ladder must apply ONE GLOBAL dt — the zshard aggregation pmins the
+    per-device dt_new (= the ladder at the pmax'ed dT_max), otherwise
+    each replica would silently apply a different dt derived from its
+    local zone slice. Checked by comparing the dt sequence of a
+    4-device zone-sharded run against the single-device run of the
+    same config (the per-zone FP solves are placement-independent, so
+    the sequences must match to f32 reduction rounding)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from compton2d_tpu.examples import small_corona
+    from compton2d_tpu.parallel.mesh import make_photon_mesh
+
+    def run(mesh):
+        sim = small_corona(
+            nz=4, nr=2, nst=800, n_slots=4096, num_nt=40, n_vol=32,
+            nphfield=32, t_const=False, seed=5, mesh=mesh,
+        )
+        cfg = dataclasses.replace(
+            sim.cfg,
+            run=dataclasses.replace(sim.cfg.run, adaptive_dt=True),
+        )
+        sim = sim.with_config(cfg, mesh=mesh)
+        dts = []
+        for _ in range(4):
+            sim.step()
+            dts.append(float(sim.state.dt))
+            if mesh is not None:
+                # THE regression check: every device's replica of the
+                # replicated dt/time leaves must be bitwise identical —
+                # without the pmin'd dt_new each replica applies the
+                # ladder at its LOCAL slice's dT_max and the
+                # "replicated" clock silently diverges
+                for leaf in (sim.state.dt, sim.state.time):
+                    shards = [
+                        np.asarray(s.data)
+                        for s in leaf.addressable_shards
+                    ]
+                    assert len(shards) == 4
+                    for sh in shards[1:]:
+                        assert np.array_equal(sh, shards[0]), shards
+        return np.asarray(dts)
+
+    dt4 = run(make_photon_mesh(jax.devices()[:4]))
+    assert np.all(dt4 > 0) and np.all(np.isfinite(dt4))
+    # the ladder actually moved dt at least once in this config
+    assert not np.allclose(dt4, dt4[0])
