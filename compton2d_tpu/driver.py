@@ -895,7 +895,13 @@ def _step_impl(
         and nz <= _fpk0.MAX_EDGE
         and nr <= _fpk0.MAX_EDGE
         and _n_local % _fpk0.TILE == 0
-        and run.pallas_tracking != "off"
+        and (
+            run.pallas_tracking == "on"
+            or (
+                run.pallas_tracking == "auto"
+                and jax.default_backend() == "tpu"
+            )
+        )
     )
     if windowed_kernel:
         from compton2d_tpu.transport.population import zone_sort
@@ -1060,9 +1066,10 @@ def _step_impl(
     from compton2d_tpu.transport import flight_pallas2 as _fpk
 
     n_local_slots = run.n_slots // max(n_devices, 1)
+    # grids past MAX_ZONES use the windowed-table kernel mode (any
+    # nz, nr <= MAX_EDGE), matching the zone-sort prepass gate above
     pallas_ok = (
-        nz * nr <= _fpk.MAX_ZONES
-        and nz <= _fpk.MAX_EDGE
+        nz <= _fpk.MAX_EDGE
         and nr <= _fpk.MAX_EDGE
         and n_local_slots % _fpk.TILE == 0
         and jax.default_backend() == "tpu"

@@ -20,6 +20,7 @@ Also provides the closed-form total Klein-Nishina cross section
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -138,7 +139,8 @@ def zone_sigma_table(
     fw = f_nt * w                             # (nz, nr, num_nt)
     # contract gamma axis on the MXU
     sig = jnp.einsum(
-        "zrg,eg->zre", fw, sigma_tab, preferred_element_type=jnp.float32
+        "zrg,eg->zre", fw, sigma_tab, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     )
     ne = n_e
     if f_pair is not None:

@@ -165,9 +165,11 @@ def dn_pp_from_field(
     t = jnp.einsum(
         "gpq,zq->zgp", pp_tensor, nph_phys,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     )
     return jnp.einsum(
-        "zgp,zp->zg", t, nph_phys, preferred_element_type=jnp.float32
+        "zgp,zp->zg", t, nph_phys, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     )
 
 

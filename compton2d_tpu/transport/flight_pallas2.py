@@ -1139,9 +1139,9 @@ def flight_step_v2(
         # recombine per-tile window tallies by their bases
         tw = 2 * win_z
         tally_z = jnp.sum(tally, axis=-1)       # (n_tiles, 2, tw)
-        nz_tot = (
-            tables.opac_t.shape[0] // dims.rpz
-        ) + win_z
+        # dims.nzr is the window-padded zone count (build_kernel_tables
+        # win_z padding), so every loc below is in range
+        nz_tot = dims.nzr
         loc = (
             base_blk[:, None] * win_z
             + jnp.arange(tw, dtype=jnp.int32)[None, :]

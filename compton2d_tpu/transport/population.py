@@ -97,7 +97,8 @@ def zone_sort(photons: PhotonArray, nz: int, nr: int, bucket_z: int):
     # offsets[bucket] as a one-hot matvec (slot counts < 2^24, exact
     # in f32; avoids a TPU gather)
     dest = (
-        jnp.dot(oh, offsets, preferred_element_type=jnp.float32)
+        jnp.dot(oh, offsets, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
         .astype(jnp.int32)
         + rank
     )

@@ -112,7 +112,8 @@ def _draw_from_cdf(u, cdf_rows, gnt):
         idx[:, None] - 1
         == jax.lax.broadcasted_iota(jnp.int32, (1, num_nt - 1), 1)
     ).astype(jnp.float32)
-    gm1 = jnp.dot(oh, gm1_mid, preferred_element_type=jnp.float32)
+    gm1 = jnp.dot(oh, gm1_mid, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     gamma = gm1 + 1.0
     beta = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (gamma * gamma), 0.0))
     return gamma, beta, idx.astype(jnp.int32)

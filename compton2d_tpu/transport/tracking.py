@@ -137,16 +137,23 @@ def zone_accum(vals, zid, nzr):
     """Deterministic segment-sum of per-photon values into the (small)
     zone axis via a one-hot matmul — MXU-friendly, ~10x faster on TPU
     than a sort-based scatter-add for nzr << n. ``vals``: (n,) or
-    (n, k) channels; returns (nzr,) / (nzr, k)."""
+    (n, k) channels; returns (nzr,) / (nzr, k).
+
+    Precision.HIGHEST: at the default MXU precision the VALUE operand
+    is truncated to bf16 (~3 significant digits per element), which
+    degrades physics-bearing tallies to ~1e-3 relative; full-f32
+    passes keep the one-hot sum exact to f32 accumulation order."""
     oh = (
         zid[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, nzr), 1)
     ).astype(jnp.float32)
     if vals.ndim == 1:
         return jnp.einsum(
-            "n,nz->z", vals, oh, preferred_element_type=jnp.float32
+            "n,nz->z", vals, oh, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     return jnp.einsum(
-        "nk,nz->zk", vals, oh, preferred_element_type=jnp.float32
+        "nk,nz->zk", vals, oh, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -155,7 +162,9 @@ def hist2d_accum(vals, zid, nzr, bins, n_bins):
     two-sided one-hot matmul: (n_bins, n) @ (n, nzr), both one-hots
     fused from iota-compares. Replaces ``.at[zid, bins].add`` — the
     XLA scatter lowers to a serialized/sort-based op on TPU (~1.4 ms
-    at 131072 slots into 32x400) while this MXU matmul is ~0.55 ms."""
+    at 131072 slots into 32x400) while this MXU matmul is far cheaper.
+    Precision.HIGHEST so the value operand is not truncated to bf16
+    (see zone_accum)."""
     ohz = (
         zid[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, nzr), 1)
     ).astype(jnp.float32) * vals[:, None]
@@ -166,6 +175,7 @@ def hist2d_accum(vals, zid, nzr, bins, n_bins):
     return jax.lax.dot_general(
         ohz, ohb, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (nzr, n_bins)
 
 
@@ -663,7 +673,8 @@ def _zone_rows(table, zid, nzr):
     oh = (
         zid[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, nzr), 1)
     ).astype(table.dtype)
-    return jnp.dot(oh, table, preferred_element_type=jnp.float32)
+    return jnp.dot(oh, table, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def apply_scatter(ph, tl, sct, zid, sig_s, k_scat, ctx, st):

@@ -111,11 +111,11 @@ def test_adaptive_dt_zone_shard_consistent():
     """Adaptive dt under zone-sharded FP (advisor r4 medium): the dt
     ladder must apply ONE GLOBAL dt — the zshard aggregation pmins the
     per-device dt_new (= the ladder at the pmax'ed dT_max), otherwise
-    each replica would silently apply a different dt derived from its
-    local zone slice. Checked by comparing the dt sequence of a
-    4-device zone-sharded run against the single-device run of the
-    same config (the per-zone FP solves are placement-independent, so
-    the sequences must match to f32 reduction rounding)."""
+    each replica silently applies a different dt derived from its
+    local zone slice. Checked by asserting every device's replica of
+    the replicated dt/time leaves stays BITWISE identical through a
+    4-device zone-sharded adaptive-dt run (the divergence is exactly
+    what the bug produced), and that the ladder actually moves dt."""
     import dataclasses
 
     import jax

@@ -25,8 +25,21 @@ Zone temperatures are calibrated PER ZONE: each zone's own
 seed-replicate spread sets its floor, so MC-noise-tracking (stiff)
 zones no longer widen the tolerance of quiet zones. ``te_nonstiff``
 is the worst relative deviation over zones whose relative 1-sigma
-seed spread is < 5 % (the channel VERDICT r5 asks to be sharp);
-stiff zones are counted and z-tested against their own spread.
+seed spread is < 5 %; stiff zones are counted and z-tested against
+their own spread.
+
+Floor sharpness at the default config (K=12, nst=2e5, gamma <= 20):
+the channels most sensitive to kernel-physics divergence are at or
+under the 5 % target — edep/scatter_gain ~ 0.05, te_mean ~ 0.03,
+spectrum ~ 0.006. The transient-total channels (escaped, census,
+pair_abs) keep 1-sigma floors of 0.1-0.2: their seed-to-seed spread
+is structural (census-roulette reweighting plus the tail's gamma^2
+weight amplification compounding through the 3-step transient), not
+shot noise, so more histories do not shrink it much — the recorded
+floor IS the honest power of those channels. In this corona every
+zone individually tracks the MC radiation field (all 12 report as
+stiff), so te_mean is the sharp temperature statement and
+te_nonstiff activates on configs with quiet zones.
 
 Two kernel modes are gated: the default inline-scatter kernel, and
 (``--strat``) the ``strat_split`` FLAG_SCATTER freeze path (the
@@ -66,18 +79,18 @@ def _build(pallas: str, nst: int, pairs: bool, strat: bool):
     from compton2d_tpu.examples import small_corona
 
     # electron population: a STRONG but BOUNDED nonthermal tail
-    # (amxwl=0.5, gamma <= 30). With the default rare gamma<=1e5 tail,
+    # (amxwl=0.5, gamma <= 20). With the default rare gamma<=1e5 tail,
     # a single jackpot scatter multiplies one photon's weight by up to
     # gamma^2 ~ 1e8 and dominates every energy total — the reference
     # guards its production runs with split3 (imctrk2d.f:629-661) and
     # this framework with SourceConfig.strat_split; an equivalence
     # gate, however, needs central-limit statistics, so the tail here
     # is frequent-and-moderate instead of rare-and-extreme. Pair
-    # physics stays exercised: gamma=30 upscatters reach ~MeV.
+    # physics stays exercised: gamma=20 upscatters reach ~MeV.
     sim = small_corona(
         nz=4, nr=3, nst=nst, n_slots=1 << 18, num_nt=100,
         n_vol=128, nphfield=128, t_const=False, seed=0,
-        pair_switch=pairs, amxwl=0.5, gmin=3.0, gmax=30.0, p_nth=2.5,
+        pair_switch=pairs, amxwl=0.5, gmin=3.0, gmax=20.0, p_nth=2.5,
     )
     run2 = dataclasses.replace(sim.cfg.run, pallas_tracking=pallas)
     src2 = sim.cfg.source
@@ -143,7 +156,7 @@ def _spec_dev(fa: np.ndarray, fb: np.ndarray) -> float:
 
 
 def run_gate(steps: int = 3, nst: int = 200000, pairs: bool = True,
-             seed: int = 3, n_seeds: int = 8,
+             seed: int = 3, n_seeds: int = 12,
              strat: bool = False) -> dict:
     """Returns per-quantity deviations, the 1-sigma noise floors, and
     a ``passed`` verdict. Raises RuntimeError off-TPU — a gate that
@@ -252,7 +265,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--nst", type=int, default=200000)
-    ap.add_argument("--seeds", type=int, default=8)
+    ap.add_argument("--seeds", type=int, default=12)
     ap.add_argument("--pairs", action="store_true", default=True)
     ap.add_argument("--no-pairs", dest="pairs", action="store_false")
     ap.add_argument("--strat", action="store_true", default=False)

@@ -18,7 +18,12 @@ optical to TeV, compared against data/observations/). This script:
    artifact's SED peaks land in the right decades (synchrotron ~keV
    and below, SSC in the GeV decades for these parameters).
 
-Usage: python tools/run_mrk421.py [--nst 20000] [--out artifacts/mrk421]
+Usage (the committed artifacts):
+  canonical: python tools/run_mrk421.py --nst 200000 --n-slots 131072 \
+                 --strat-copies 8 --out artifacts/mrk421
+  dense/TeV: python tools/run_mrk421.py --nst 200000 --n-slots 131072 \
+                 --n-e 2e6 --strat-gamma-c 3e4 --strat-copies 64 \
+                 --out artifacts/mrk421_dense
 """
 from __future__ import annotations
 
@@ -117,8 +122,6 @@ def main():
     e_edges = np.geomspace(1e-8, 1e11, 150)
     tr = pp.doppler_transform(events, GAMMA_BULK, r_max)
     t_obs_all = tr[:, 0]
-    mu_obs = tr[:, 3]
-    in_mu = (mu_obs >= MU_RANGE[0]) & (mu_obs <= MU_RANGE[1])
     t_span = float(np.percentile(t_obs_all, 99.5)) or 1.0
     s = pp.sed(events, GAMMA_BULK, r_max, 0.0, t_span, e_edges,
                mu_range=MU_RANGE)

@@ -27,7 +27,8 @@ sys.path.insert(
 import numpy as np
 
 
-def run(strat: bool, steps: int, nst: int):
+def run(strat: bool, steps: int, nst: int, gamma_c: float = 1.0e3,
+        copies: int = 1):
     import jax
 
     from compton2d_tpu.examples import mrk421, MRK421_BANDS, MRK421_GAMMA
@@ -44,7 +45,8 @@ def run(strat: bool, steps: int, nst: int):
     cfg = dataclasses.replace(
         sim.cfg,
         source=dataclasses.replace(
-            sim.cfg.source, strat_split=strat, strat_gamma_c=1.0e3
+            sim.cfg.source, strat_split=strat, strat_gamma_c=gamma_c,
+            strat_copies=copies,
         ),
     )
     sim = sim.with_config(cfg)
@@ -89,24 +91,36 @@ def run(strat: bool, steps: int, nst: int):
 def main():
     steps = int(os.environ.get("FOM_STEPS", 12))
     nst = int(os.environ.get("FOM_NST", 20000))
+    # three configurations: splitting off; the round-3 default
+    # (gamma_c=1e3, one tail copy); and the TeV-targeted setting used
+    # for the committed artifact (gamma_c=3e4, strat_copies=64 — the
+    # split3-analogue multiplicity, VERDICT r5 task 3)
     w_off, r_off = run(False, steps, nst)
     w_on, r_on = run(True, steps, nst)
+    w_tev, r_tev = run(True, steps, nst, gamma_c=3.0e4, copies=64)
     print(json.dumps({"strat": "off", "wall_s": round(w_off, 2)}))
-    print(json.dumps({"strat": "on", "wall_s": round(w_on, 2)}))
-    for a, b in zip(r_off, r_on):
-        ratio = (
-            b["fom"] / a["fom"] if a["fom"] > 0
-            else (float("inf") if b["fom"] > 0 else 0.0)
-        )
+    print(json.dumps({"strat": "on(gc=1e3,M=1)",
+                      "wall_s": round(w_on, 2)}))
+    print(json.dumps({"strat": "tev(gc=3e4,M=64)",
+                      "wall_s": round(w_tev, 2)}))
+    for a, b, c in zip(r_off, r_on, r_tev):
+        def ratio(x):
+            if a["fom"] > 0:
+                return x["fom"] / a["fom"]
+            return float("inf") if x["fom"] > 0 else 0.0
         print(json.dumps({
             "band_keV": a["band_keV"],
-            "n_off": a["n"], "n_on": b["n"],
+            "n_off": a["n"], "n_on": b["n"], "n_tev": c["n"],
             "sigma_rel_off": round(a["sigma_rel"], 4)
             if np.isfinite(a["sigma_rel"]) else None,
             "sigma_rel_on": round(b["sigma_rel"], 4)
             if np.isfinite(b["sigma_rel"]) else None,
-            "fom_ratio_on_over_off": round(ratio, 3)
-            if np.isfinite(ratio) else None,
+            "sigma_rel_tev": round(c["sigma_rel"], 4)
+            if np.isfinite(c["sigma_rel"]) else None,
+            "fom_ratio_on_over_off": round(ratio(b), 3)
+            if np.isfinite(ratio(b)) else None,
+            "fom_ratio_tev_over_off": round(ratio(c), 3)
+            if np.isfinite(ratio(c)) else None,
         }))
 
 
